@@ -1,0 +1,29 @@
+from .correlated_field import (
+    CorrelatedFieldMaker,
+    HEALPixGrid,
+    LMGrid,
+    MaternAmplitude,
+    NonParametricAmplitude,
+    RegularCartesianGrid,
+    RegularFourierGrid,
+    get_fourier_mode_distributor,
+    get_spherical_mode_distributor,
+    make_grid,
+)
+from .gauss_markov import (
+    GaussMarkovProcess,
+    IntegratedWienerProcess,
+    OrnsteinUhlenbeckProcess,
+    WienerProcess,
+    discrete_gauss_markov_process,
+    integrated_wiener_process,
+    ornstein_uhlenbeck_process,
+    wiener_process,
+)
+from .prior import (
+    InvGammaPrior,
+    LaplacePrior,
+    LogNormalPrior,
+    NormalPrior,
+    UniformPrior,
+)

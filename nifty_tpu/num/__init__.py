@@ -1,0 +1,12 @@
+from .stats_distributions import (
+    interpolator,
+    invgamma_invprior,
+    invgamma_prior,
+    laplace_prior,
+    lognormal_invprior,
+    lognormal_moments,
+    lognormal_prior,
+    normal_invprior,
+    normal_prior,
+    uniform_prior,
+)
