@@ -21,6 +21,7 @@ from .evi import (
     sample_likelihood,
     wiener_filter_posterior,
 )
+from .evidence_lower_bound import estimate_evidence_lower_bound
 from .likelihood import (
     Likelihood,
     LikelihoodPartial,

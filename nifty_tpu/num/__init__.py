@@ -1,3 +1,8 @@
+from .lanczos import (
+    lanczos_tridiag,
+    stochastic_logdet_from_lanczos,
+    stochastic_lq_logdet,
+)
 from .stats_distributions import (
     interpolator,
     invgamma_invprior,

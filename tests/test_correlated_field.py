@@ -1,0 +1,158 @@
+"""Correlated-field model tests: mode binning, Hartley identities,
+amplitude normalization, and prior statistics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import random
+
+import nifty_tpu as nt
+from nifty_tpu.ops.fft import hartley
+
+
+@pytest.mark.parametrize("shape", [(8,), (8, 6), (4, 4, 4)])
+def test_hartley_self_inverse(shape):
+    x = np.random.default_rng(0).normal(size=shape)
+    h = hartley(jnp.asarray(x))
+    hh = hartley(h)
+    np.testing.assert_allclose(hh, np.prod(shape) * x, rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.parametrize("shape", [(8,), (8, 6), (5, 7)])
+def test_hartley_matches_fftn_formula(shape):
+    x = np.random.default_rng(1).normal(size=shape)
+    ft = np.fft.fftn(x)
+    expected = ft.real - ft.imag
+    np.testing.assert_allclose(hartley(jnp.asarray(x)), expected, rtol=1e-10, atol=1e-10)
+
+
+def test_hartley_self_adjoint():
+    shape = (8, 6)
+    rng = np.random.default_rng(2)
+    a, b = rng.normal(size=shape), rng.normal(size=shape)
+    lhs = np.vdot(np.asarray(hartley(jnp.asarray(a))), b)
+    rhs = np.vdot(a, np.asarray(hartley(jnp.asarray(b))))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+def test_fourier_mode_distributor():
+    idx, um, cnt = nt.get_fourier_mode_distributor((8, 8), (1.0 / 8, 1.0 / 8))
+    assert idx.shape == (8, 8)
+    assert um[0] == 0.0
+    assert cnt[0] == 1  # unique zero mode
+    assert cnt.sum() == 64
+    # index array must address every unique mode
+    assert set(np.unique(idx)) == set(range(len(um)))
+    # mode lengths increase
+    assert np.all(np.diff(um) > 0)
+
+
+def test_spherical_mode_distributor():
+    (idx, um, cnt), (lmax, mmax, size) = nt.get_spherical_mode_distributor(4)
+    assert lmax == 8 and mmax == 8
+    assert size == (lmax + 1) ** 2
+    assert um.tolist() == list(range(lmax + 1))
+    # multiplicity of l: 2l+1 (m=0 once, m>0 twice as re/im pairs)
+    np.testing.assert_array_equal(cnt, [2 * l + 1 for l in range(lmax + 1)])
+    assert idx.shape == (size,)
+
+
+def _simple_cf(shape=(64,), offset_std=(1e-3, 1e-6), fluct=(1.0, 1e-6),
+               slope=(-2.0, 1e-6), **kw):
+    cfm = nt.CorrelatedFieldMaker("t")
+    cfm.set_amplitude_total_offset(offset_mean=0.0, offset_std=offset_std)
+    cfm.add_fluctuations(
+        shape, distances=1.0 / shape[0], fluctuations=fluct,
+        loglogavgslope=slope, **kw,
+    )
+    return cfm.finalize()
+
+
+def test_cf_domain_and_shapes():
+    cf = _simple_cf(flexibility=(1.0, 0.1), asperity=(0.5, 0.05))
+    dom = cf.domain
+    for k in ("txi", "tzeromode", "tfluctuations", "tloglogavgslope",
+              "tflexibility", "tasperity", "tspectrum"):
+        assert k in dom, k
+    out = cf(cf.init(random.PRNGKey(0)))
+    assert out.shape == (64,)
+
+
+def test_cf_prior_std_matches_fluctuations():
+    """With tight hyper-priors, the field std must match `fluctuations`."""
+    fluct_val = 1.7
+    cf = _simple_cf(shape=(64,), fluct=(fluct_val, 1e-6))
+    n = 300
+    keys = random.split(random.PRNGKey(1), n)
+    draw = jax.jit(jax.vmap(lambda k: cf(cf.init(k))))
+    fields = np.asarray(draw(keys))
+    total_std = np.sqrt(np.mean(np.var(fields, axis=1)))
+    # MC tolerance
+    assert abs(total_std - fluct_val) / fluct_val < 0.15, total_std
+
+
+def test_cf_offset_mean():
+    cfm = nt.CorrelatedFieldMaker("t")
+    cfm.set_amplitude_total_offset(offset_mean=5.0, offset_std=(1e-4, 1e-8))
+    cfm.add_fluctuations((32,), 1.0 / 32, (1e-4, 1e-8), (-2.0, 1e-8))
+    cf = cfm.finalize()
+    out = cf(cf.init(random.PRNGKey(0)))
+    np.testing.assert_allclose(out, 5.0, atol=1e-2)
+
+
+def test_cf_2d_and_outer_product():
+    cfm = nt.CorrelatedFieldMaker("t")
+    cfm.set_amplitude_total_offset(offset_mean=0.0, offset_std=(1.0, 0.5))
+    cfm.add_fluctuations((8,), 1.0 / 8, (1.0, 0.5), (-2.0, 0.2), prefix="a")
+    cfm.add_fluctuations((6,), 1.0 / 6, (1.0, 0.5), (-2.0, 0.2), prefix="b")
+    cf = cfm.finalize()
+    assert cf.domain["txi"].shape == (8, 6)
+    out = cf(cf.init(random.PRNGKey(0)))
+    assert out.shape == (8, 6)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_matern_amplitude():
+    cfm = nt.CorrelatedFieldMaker("t")
+    cfm.set_amplitude_total_offset(offset_mean=0.0, offset_std=(1.0, 0.5))
+    cfm.add_fluctuations_matern(
+        (32,), 1.0 / 32, scale=(1.0, 0.3), cutoff=(1.0, 0.1),
+        loglogslope=(-4.0, 0.5), renormalize_amplitude=True,
+    )
+    cf = cfm.finalize()
+    out = cf(cf.init(random.PRNGKey(0)))
+    assert out.shape == (32,)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_gauss_markov_wiener_stats():
+    """WP increments must be N(0, sigma^2 dt)."""
+    n, dt, sigma = 2000, 0.5, 1.3
+    xi = np.asarray(random.normal(random.PRNGKey(0), (n,)))
+    wp = np.asarray(nt.wiener_process(jnp.asarray(xi), 0.0, sigma, dt))
+    incr = np.diff(wp)
+    assert abs(np.std(incr) - sigma * np.sqrt(dt)) < 0.05
+
+
+def test_gauss_markov_ou_stationary():
+    """OU stationary std must equal sigma."""
+    n, dt, sigma, gamma = 4000, 0.1, 0.7, 1.0
+    xi = np.asarray(random.normal(random.PRNGKey(1), (n,)))
+    x0 = 0.7  # start at stationary scale
+    ou = np.asarray(
+        nt.ornstein_uhlenbeck_process(jnp.asarray(xi), x0, sigma, gamma, dt)
+    )
+    assert abs(np.std(ou[100:]) - sigma) < 0.1
+
+
+def test_integrated_wiener_process_shape():
+    xi = random.normal(random.PRNGKey(2), (10, 2))
+    out = nt.integrated_wiener_process(xi, jnp.zeros(2), 1.0, 0.5)
+    assert out.shape == (11, 2)
+    # second column is a plain Wiener process (cumsum)
+    np.testing.assert_allclose(
+        np.asarray(out[1:, 1]),
+        np.cumsum(np.asarray(xi[:, 1])) * 1.0 * np.sqrt(0.5),
+        rtol=1e-10,
+    )
