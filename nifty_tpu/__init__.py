@@ -21,7 +21,16 @@ from .evi import (
     sample_likelihood,
     wiener_filter_posterior,
 )
+from . import hmc, lax
 from .evidence_lower_bound import estimate_evidence_lower_bound
+from .hmc import generate_hmc_acc_rej, generate_nuts_tree
+from .hmc_oo import Chain, HMCChain, NUTSChain
+from .mcmc import (
+    LogDensity,
+    blackjax_nuts,
+    get_sample_size_estimate,
+    nuts_sample,
+)
 from .likelihood import (
     Likelihood,
     LikelihoodPartial,

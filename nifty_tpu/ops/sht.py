@@ -1,17 +1,268 @@
-"""TPU-native spherical-harmonic transform (placeholder).
+"""TPU-native spherical-harmonic synthesis on the HEALPix sphere.
 
-The full implementation (Legendre-recurrence matmuls over rings +
-equatorial FFT, the MXU-friendly dense formulation replacing the
-reference's ducc0 C++ SHT, ``nifty/re/correlated_field.py:33-52``) lands
-in ``sht`` once the ring-geometry utilities are in place.
+Replaces the reference's ducc0 C++ SHT (bound through jaxbind,
+``nifty/re/correlated_field.py:33-52``) with a pure-XLA formulation:
+
+1. **Legendre stage** — the associated Legendre functions λ_lm(θ_r) are
+   generated ring-by-ring with the stable normalized three-term
+   recurrence inside one ``lax.scan`` over ℓ, fusing the coefficient
+   contraction ``F_m(θ_r) = Σ_l c_lm λ_lm(θ_r)`` into the recurrence, so
+   nothing of size O(lmax·mmax·n_rings) is ever materialized.
+2. **Fourier stage** — iso-latitude rings are evaluated by FFT: the
+   equatorial band (all rings have 4·nside pixels) as one batched
+   ``ifft``; the polar-cap rings (4k pixels) via per-length alias
+   folding (an MXU matmul against a precomputed 0/1 fold matrix)
+   followed by tiny batched FFTs.
+
+Everything is linear in the coefficients and built from transposable
+lax primitives, so ``jax.linear_transpose`` provides the exact adjoint
+and AD "just works" inside likelihood metrics.
+
+Conventions: real orthonormal spherical harmonics, Condon-Shortley
+phase, coefficients packed as the reference's real-alm layout
+(``nifty/re/correlated_field.py:70-117``): all m=0 coefficients for
+ℓ=0..lmax first, then for each m≥1 the interleaved (re, im) pairs for
+ℓ=m..lmax.  The synthesis is scaled by √(4π) like the reference so an
+ℓ-flat unit spectrum yields unit field variance.
 """
 
 from __future__ import annotations
 
-__all__ = ["get_healpix_synthesis"]
+from functools import partial
+
+import numpy as np
+from jax import lax
+from jax import numpy as jnp
+from jax import vmap
+
+__all__ = [
+    "healpix_ring_geometry",
+    "healpix_synthesis",
+    "get_healpix_synthesis",
+    "unpack_real_alm",
+]
+
+
+# --- static geometry / packing tables (numpy, construction time) -------------
+
+
+def healpix_ring_geometry(nside: int):
+    """Ring description of the RING-ordered HEALPix grid (Górski et al.
+    2005): per ring the colatitude cos θ, pixel count, first-pixel φ
+    offset, and the flat start index."""
+    nside = int(nside)
+    n_rings = 4 * nside - 1
+    z = np.empty(n_rings, dtype=np.float64)
+    nphi = np.empty(n_rings, dtype=np.int64)
+    phi0 = np.empty(n_rings, dtype=np.float64)
+    for i in range(n_rings):
+        ring = i + 1  # 1-based ring index from the north pole
+        if ring < nside:  # north polar cap
+            z[i] = 1.0 - ring**2 / (3.0 * nside**2)
+            nphi[i] = 4 * ring
+            phi0[i] = np.pi / (4.0 * ring)
+        elif ring <= 3 * nside:  # equatorial belt
+            z[i] = 4.0 / 3.0 - 2.0 * ring / (3.0 * nside)
+            nphi[i] = 4 * nside
+            s = (ring - nside + 1) % 2
+            phi0[i] = s * np.pi / (4.0 * nside)
+        else:  # south polar cap
+            ring_s = 4 * nside - ring
+            z[i] = -(1.0 - ring_s**2 / (3.0 * nside**2))
+            nphi[i] = 4 * ring_s
+            phi0[i] = np.pi / (4.0 * ring_s)
+    start = np.concatenate([[0], np.cumsum(nphi)[:-1]])
+    return z, nphi, phi0, start
+
+
+def _real_alm_index_maps(lmax: int, mmax: int):
+    """Gather maps from the packed real-alm vector to dense (lmax+1,
+    mmax+1) matrices of cosine (re) and sine (im) coefficients."""
+    idx_re = np.zeros((lmax + 1, mmax + 1), dtype=np.int64)
+    idx_im = np.zeros((lmax + 1, mmax + 1), dtype=np.int64)
+    msk_re = np.zeros((lmax + 1, mmax + 1), dtype=np.float64)
+    msk_im = np.zeros((lmax + 1, mmax + 1), dtype=np.float64)
+    for l in range(lmax + 1):
+        idx_re[l, 0] = l
+        msk_re[l, 0] = 1.0
+    off = lmax + 1
+    for m in range(1, mmax + 1):
+        for l in range(m, lmax + 1):
+            idx_re[l, m] = off
+            idx_im[l, m] = off + 1
+            msk_re[l, m] = 1.0
+            msk_im[l, m] = 1.0
+            off += 2
+    return idx_re, msk_re, idx_im, msk_im
+
+
+def unpack_real_alm(x, lmax: int, mmax: int):
+    """Packed real-alm vector → dense (lmax+1, mmax+1) (cos, sin)
+    coefficient matrices (two gathers on device)."""
+    idx_re, msk_re, idx_im, msk_im = _real_alm_index_maps(lmax, mmax)
+    c_re = x[..., jnp.asarray(idx_re)] * jnp.asarray(msk_re, dtype=x.dtype)
+    c_im = x[..., jnp.asarray(idx_im)] * jnp.asarray(msk_im, dtype=x.dtype)
+    return c_re, c_im
+
+
+def _recurrence_tables(lmax: int, mmax: int):
+    """Static coefficient tables for the normalized Legendre recurrence
+    λ_{l,m} = a_{l,m} cosθ λ_{l-1,m} − b_{l,m} λ_{l-2,m}."""
+    ls = np.arange(lmax + 2, dtype=np.float64)[:, None]
+    ms = np.arange(mmax + 1, dtype=np.float64)[None, :]
+    valid = ls >= ms + 1
+    with np.errstate(divide="ignore", invalid="ignore"):
+        a = np.sqrt((4 * ls**2 - 1.0) / (ls**2 - ms**2))
+        b = np.sqrt(((ls - 1.0) ** 2 - ms**2) / (4.0 * (ls - 1.0) ** 2 - 1.0))
+    a = np.where(valid, a, 0.0)
+    b = np.where(valid, np.nan_to_num(b), 0.0)
+    # diagonal factors λ_{m,m} = dfac_m · sinθ · λ_{m-1,m-1}
+    m1 = np.arange(1, lmax + 2, dtype=np.float64)
+    dfac = -np.sqrt((2.0 * m1 + 1.0) / (2.0 * m1))
+    return a, b, dfac
+
+
+def _legendre_contract(cos_theta, sin_theta, c_re, c_im, lmax: int, mmax: int):
+    """Fused Legendre recurrence + coefficient contraction.
+
+    Returns ``(Fc, Fs)`` of shape (n_rings, mmax+1) with
+    ``Fc[r, m] = Σ_l c_re[l, m] λ_lm(θ_r)`` (same for sin/c_im).
+    """
+    dtype = jnp.result_type(c_re, cos_theta)
+    n_rings = cos_theta.shape[0]
+    a_np, b_np, dfac_np = _recurrence_tables(lmax, mmax)
+    # xs rows indexed by l: recurrence coefficients for l+1, coefficient
+    # rows for l, diagonal factor for l+1
+    a_next = jnp.asarray(a_np[1 : lmax + 2], dtype=dtype)
+    b_next = jnp.asarray(b_np[1 : lmax + 2], dtype=dtype)
+    dfac_next = jnp.asarray(dfac_np[:lmax + 1], dtype=dtype)
+    col = jnp.arange(mmax + 1)
+
+    p_prev = jnp.zeros((n_rings, mmax + 1), dtype=dtype)
+    p_curr = jnp.zeros((n_rings, mmax + 1), dtype=dtype)
+    lam00 = 1.0 / np.sqrt(4.0 * np.pi)
+    p_curr = p_curr.at[:, 0].set(jnp.full((n_rings,), lam00, dtype=dtype))
+    diag = jnp.full((n_rings,), lam00, dtype=dtype)
+    f_c = jnp.zeros((n_rings, mmax + 1), dtype=dtype)
+    f_s = jnp.zeros((n_rings, mmax + 1), dtype=dtype)
+
+    ct = cos_theta[:, None].astype(dtype)
+
+    def step(carry, xs):
+        p_prev, p_curr, diag, f_c, f_s = carry
+        l, a_n, b_n, d_n, cre_l, cim_l = xs
+        f_c = f_c + cre_l[None, :] * p_curr
+        f_s = f_s + cim_l[None, :] * p_curr
+        p_new = a_n[None, :] * ct * p_curr - b_n[None, :] * p_prev
+        new_diag = d_n * sin_theta.astype(dtype) * diag
+        sel = col[None, :] == (l + 1)
+        p_new = jnp.where(sel & ((l + 1) <= mmax), new_diag[:, None], p_new)
+        return (p_curr, p_new, new_diag, f_c, f_s), None
+
+    xs = (
+        jnp.arange(lmax + 1),
+        a_next,
+        b_next,
+        dfac_next,
+        jnp.moveaxis(c_re, 0, 0),
+        c_im,
+    )
+    (_, _, _, f_c, f_s), _ = lax.scan(
+        step, (p_prev, p_curr, diag, f_c, f_s), xs
+    )
+    return f_c, f_s
+
+
+# --- ring Fourier stage ------------------------------------------------------
+
+
+def _cap_groups(nside):
+    """Polar-cap rings grouped by pixel count: ring indices (north,
+    south) per count 4k, k = 1..nside-1."""
+    n_rings = 4 * nside - 1
+    groups = []
+    for k in range(1, nside):
+        i_n = k - 1
+        i_s = n_rings - k
+        groups.append((4 * k, i_n, i_s))
+    return groups
+
+
+def healpix_synthesis(alm, nside: int, lmax=None, mmax=None):
+    """Spherical-harmonic synthesis: packed real alm → RING-ordered
+    HEALPix map of 12·nside² pixels.  Linear and transposable."""
+    nside = int(nside)
+    lmax = 2 * nside if lmax is None else int(lmax)
+    mmax = lmax if mmax is None else int(mmax)
+    dtype = alm.dtype
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+
+    z, nphi, phi0, _ = healpix_ring_geometry(nside)
+    n_rings = z.size
+    sin_theta = jnp.asarray(np.sqrt(1.0 - z**2), dtype=dtype)
+    cos_theta = jnp.asarray(z, dtype=dtype)
+
+    c_re, c_im = unpack_real_alm(alm, lmax, mmax)
+    f_c, f_s = _legendre_contract(cos_theta, sin_theta, c_re, c_im, lmax, mmax)
+
+    # ring-harmonic complex amplitudes with the first-pixel phase and the
+    # real-basis weights folded in:  pixel value = Σ_m Re(G_m e^{2πi m j / n})
+    ms = np.arange(mmax + 1)
+    w = np.full(mmax + 1, np.sqrt(2.0))
+    w[0] = 1.0
+    w *= np.sqrt(4.0 * np.pi)  # reference's global synthesis scaling
+    phase = np.exp(1j * ms[None, :] * phi0[:, None]) * w[None, :]
+    phase = jnp.asarray(phase, dtype=cdtype)
+    g = (f_c + 1j * f_s).astype(cdtype) * phase  # (n_rings, mmax+1)
+
+    # --- equatorial belt: one batched ifft (no aliasing: mmax < 4 nside)
+    n_eq = 4 * nside
+    eq_lo, eq_hi = nside - 1, 3 * nside  # ring indices [eq_lo, eq_hi]
+    g_eq = g[eq_lo : eq_hi + 1]
+    h_eq = jnp.zeros((g_eq.shape[0], n_eq), dtype=cdtype)
+    h_eq = h_eq.at[:, : mmax + 1].set(g_eq)
+    f_eq = n_eq * jnp.real(jnp.fft.ifft(h_eq, axis=-1))
+
+    # --- polar caps: per-length alias fold (matmul) + tiny batched ifft
+    cap_out = {}
+    for n_r, i_n, i_s in _cap_groups(nside):
+        fold = np.zeros((n_r, mmax + 1), dtype=np.float64)
+        fold[ms % n_r, ms] = 1.0
+        fold_j = jnp.asarray(fold, dtype=dtype)
+        g_pair = g[jnp.asarray([i_n, i_s])]  # (2, mmax+1)
+        h = (
+            g_pair.real @ fold_j.T + 1j * (g_pair.imag @ fold_j.T)
+        ).astype(cdtype)
+        f_pair = n_r * jnp.real(jnp.fft.ifft(h, axis=-1))
+        cap_out[i_n] = f_pair[0]
+        cap_out[i_s] = f_pair[1]
+
+    # --- assemble RING-ordered pixel vector
+    parts = []
+    for i in range(n_rings):
+        if eq_lo <= i <= eq_hi:
+            if i == eq_lo:
+                parts.append(f_eq.reshape(-1))
+        else:
+            parts.append(cap_out[i])
+    return jnp.concatenate(parts).astype(dtype)
 
 
 def get_healpix_synthesis(nside, axis, lmax, mmax):
-    raise NotImplementedError(
-        "TPU-native HEALPix SHT is not wired up yet; use harmonic_type='fourier'"
-    )
+    """Return a synthesis callable applying over `axis` of an nd-array,
+    vmapped over all other axes (interface parity with the reference's
+    ``get_sht``, ``nifty/re/correlated_field.py:33-52``)."""
+    core = partial(healpix_synthesis, nside=nside, lmax=lmax, mmax=mmax)
+    axis = int(axis)
+
+    def f(inp):
+        trafo = core
+        axs = axis % inp.ndim
+        for i in reversed(range(inp.ndim)):
+            if i < axs:
+                trafo = vmap(trafo, in_axes=0, out_axes=0)
+            elif i > axs:
+                trafo = vmap(trafo, in_axes=1, out_axes=1)
+        return trafo(inp)
+
+    return f
