@@ -112,8 +112,11 @@ def _recurrence_tables(lmax: int, mmax: int):
     ms = np.arange(mmax + 1, dtype=np.float64)[None, :]
     valid = ls >= ms + 1
     with np.errstate(divide="ignore", invalid="ignore"):
+        # inverses of α_l = sqrt((l²−m²)/(4l²−1)):  cosθ λ_{l−1} =
+        # α_l λ_l + α_{l−1} λ_{l−2}  ⇒  λ_l = a·cosθ·λ_{l−1} − b·λ_{l−2}
+        # with a = 1/α_l and b = α_{l−1}/α_l.
         a = np.sqrt((4 * ls**2 - 1.0) / (ls**2 - ms**2))
-        b = np.sqrt(((ls - 1.0) ** 2 - ms**2) / (4.0 * (ls - 1.0) ** 2 - 1.0))
+        b = a * np.sqrt(((ls - 1.0) ** 2 - ms**2) / (4.0 * (ls - 1.0) ** 2 - 1.0))
     a = np.where(valid, a, 0.0)
     b = np.where(valid, np.nan_to_num(b), 0.0)
     # diagonal factors λ_{m,m} = dfac_m · sinθ · λ_{m-1,m-1}
@@ -122,54 +125,64 @@ def _recurrence_tables(lmax: int, mmax: int):
     return a, b, dfac
 
 
-def _legendre_contract(cos_theta, sin_theta, c_re, c_im, lmax: int, mmax: int):
-    """Fused Legendre recurrence + coefficient contraction.
+def _legendre_contract(
+    cos_theta, sin_theta, c_re, c_im, lmax: int, mmax: int, block: int = None
+):
+    """Legendre recurrence + coefficient contraction.
 
     Returns ``(Fc, Fs)`` of shape (n_rings, mmax+1) with
     ``Fc[r, m] = Σ_l c_re[l, m] λ_lm(θ_r)`` (same for sin/c_im).
+
+    The λ rows are generated block-wise by a ``lax.scan`` over ℓ (the
+    recurrence depends only on the grid, never on the coefficients) and
+    contracted with an einsum — so the linear path through this function
+    consists solely of transposable primitives (the recurrence partial-
+    evaluates to a constant under ``jax.linear_transpose``), and the
+    contraction itself runs on the MXU.  Peak memory is bounded by
+    ``block · n_rings · (mmax+1)`` instead of the full λ tensor.
     """
     dtype = jnp.result_type(c_re, cos_theta)
     n_rings = cos_theta.shape[0]
     a_np, b_np, dfac_np = _recurrence_tables(lmax, mmax)
-    # xs rows indexed by l: recurrence coefficients for l+1, coefficient
-    # rows for l, diagonal factor for l+1
     a_next = jnp.asarray(a_np[1 : lmax + 2], dtype=dtype)
     b_next = jnp.asarray(b_np[1 : lmax + 2], dtype=dtype)
-    dfac_next = jnp.asarray(dfac_np[:lmax + 1], dtype=dtype)
+    dfac_next = jnp.asarray(dfac_np[: lmax + 1], dtype=dtype)
     col = jnp.arange(mmax + 1)
-
-    p_prev = jnp.zeros((n_rings, mmax + 1), dtype=dtype)
-    p_curr = jnp.zeros((n_rings, mmax + 1), dtype=dtype)
-    lam00 = 1.0 / np.sqrt(4.0 * np.pi)
-    p_curr = p_curr.at[:, 0].set(jnp.full((n_rings,), lam00, dtype=dtype))
-    diag = jnp.full((n_rings,), lam00, dtype=dtype)
-    f_c = jnp.zeros((n_rings, mmax + 1), dtype=dtype)
-    f_s = jnp.zeros((n_rings, mmax + 1), dtype=dtype)
-
     ct = cos_theta[:, None].astype(dtype)
+    st = sin_theta.astype(dtype)
+
+    if block is None:
+        # cap the materialized λ block at ~2^24 elements
+        block = max(1, min(lmax + 1, (1 << 24) // max(n_rings * (mmax + 1), 1)))
+
+    lam00 = 1.0 / np.sqrt(4.0 * np.pi)
+    p_prev = jnp.zeros((n_rings, mmax + 1), dtype=dtype)
+    p_curr = jnp.zeros((n_rings, mmax + 1), dtype=dtype).at[:, 0].set(lam00)
+    diag = jnp.full((n_rings,), lam00, dtype=dtype)
 
     def step(carry, xs):
-        p_prev, p_curr, diag, f_c, f_s = carry
-        l, a_n, b_n, d_n, cre_l, cim_l = xs
-        f_c = f_c + cre_l[None, :] * p_curr
-        f_s = f_s + cim_l[None, :] * p_curr
+        p_prev, p_curr, diag = carry
+        l, a_n, b_n, d_n = xs
         p_new = a_n[None, :] * ct * p_curr - b_n[None, :] * p_prev
-        new_diag = d_n * sin_theta.astype(dtype) * diag
+        new_diag = d_n * st * diag
         sel = col[None, :] == (l + 1)
         p_new = jnp.where(sel & ((l + 1) <= mmax), new_diag[:, None], p_new)
-        return (p_curr, p_new, new_diag, f_c, f_s), None
+        return (p_curr, p_new, new_diag), p_curr
 
-    xs = (
-        jnp.arange(lmax + 1),
-        a_next,
-        b_next,
-        dfac_next,
-        jnp.moveaxis(c_re, 0, 0),
-        c_im,
-    )
-    (_, _, _, f_c, f_s), _ = lax.scan(
-        step, (p_prev, p_curr, diag, f_c, f_s), xs
-    )
+    f_c = jnp.zeros((n_rings, mmax + 1), dtype=dtype)
+    f_s = jnp.zeros((n_rings, mmax + 1), dtype=dtype)
+    carry = (p_prev, p_curr, diag)
+    for l0 in range(0, lmax + 1, block):
+        l1 = min(l0 + block, lmax + 1)
+        xs = (
+            jnp.arange(l0, l1),
+            a_next[l0:l1],
+            b_next[l0:l1],
+            dfac_next[l0:l1],
+        )
+        carry, lam = lax.scan(step, carry, xs)  # lam: (l1-l0, n_rings, mmax+1)
+        f_c = f_c + jnp.einsum("lrm,lm->rm", lam, c_re[l0:l1])
+        f_s = f_s + jnp.einsum("lrm,lm->rm", lam, c_im[l0:l1])
     return f_c, f_s
 
 
@@ -217,7 +230,7 @@ def healpix_synthesis(alm, nside: int, lmax=None, mmax=None):
 
     # --- equatorial belt: one batched ifft (no aliasing: mmax < 4 nside)
     n_eq = 4 * nside
-    eq_lo, eq_hi = nside - 1, 3 * nside  # ring indices [eq_lo, eq_hi]
+    eq_lo, eq_hi = nside - 1, 3 * nside - 1  # 0-based ring indices, inclusive
     g_eq = g[eq_lo : eq_hi + 1]
     h_eq = jnp.zeros((g_eq.shape[0], n_eq), dtype=cdtype)
     h_eq = h_eq.at[:, : mmax + 1].set(g_eq)
