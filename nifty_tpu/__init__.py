@@ -21,8 +21,12 @@ from .evi import (
     sample_likelihood,
     wiener_filter_posterior,
 )
-from . import hmc, lax
+from . import extra, hmc, lax
+from .check_model import check_model
+from .config_file import OptimizeKLConfig
+from .empirical_power_spectrum import compute_empirical_power_spectrum
 from .evidence_lower_bound import estimate_evidence_lower_bound
+from .variational_models import FullCovarianceVI, MeanFieldVI
 from .hmc import generate_hmc_acc_rej, generate_nuts_tree
 from .hmc_oo import Chain, HMCChain, NUTSChain
 from .mcmc import (

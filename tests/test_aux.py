@@ -1,0 +1,199 @@
+"""Auxiliary subsystems: empirical PS, check_model, plot, parametric VI,
+config files, consistency checks."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+from jax import numpy as jnp
+from jax import random
+
+import nifty_tpu as nt
+
+
+def test_empirical_power_spectrum_white_noise():
+    """White noise has a flat spectrum ~ sigma^2 * dvol."""
+    n = 256
+    x = np.random.default_rng(0).normal(size=(n, n))
+    ps, k = nt.compute_empirical_power_spectrum(x, distances=1.0 / n, n_bins=16)
+    assert ps.shape[-1] == k.shape[0]
+    ps = np.asarray(ps)
+    # flat in the well-populated interior bins (edge bins hold few modes
+    # and have large estimator variance)
+    interior = ps[2:-1]
+    assert interior.max() / interior.min() < 4.0
+
+
+def test_empirical_power_spectrum_recovers_powerlaw():
+    """A CF with known spectrum: empirical PS follows the amplitude^2."""
+    shape = (128,)
+    cfm = nt.CorrelatedFieldMaker("cf")
+    cfm.set_amplitude_total_offset(0.0, (1e-1, 3e-2))
+    cfm.add_fluctuations(shape, 1.0 / shape[0], (1.0, 0.1), (-4.0, 0.1))
+    cf = cfm.finalize()
+    p = cf.init(random.PRNGKey(0))
+    out = cf(p)
+    ps, k = nt.compute_empirical_power_spectrum(
+        np.asarray(out), distances=1.0 / shape[0], n_bins=12
+    )
+    ps = np.asarray(ps)
+    # steep red spectrum: power decreases over k by orders of magnitude
+    assert ps[0] > ps[-1] * 10
+
+
+def test_check_model_runs_and_reports():
+    cfm = nt.CorrelatedFieldMaker("cf")
+    cfm.set_amplitude_total_offset(0.0, (1e-1, 3e-2))
+    cfm.add_fluctuations((32,), 1.0 / 32, (1.0, 0.5), (-3.0, 0.2))
+    cf = cfm.finalize()
+    p = cf.init(random.PRNGKey(0))
+    msgs = []
+    report = nt.check_model(cf, p, log=msgs.append)
+    assert set(report) == {"forward", "jvp", "vjp"}
+    for mode in report.values():
+        assert mode["time_jit"] > 0
+    assert any("forward" in m for m in msgs)
+
+
+def test_plot_panels(tmp_path):
+    from nifty_tpu.plot import Plot
+
+    rng = np.random.default_rng(0)
+    p = Plot()
+    p.add(rng.normal(size=100), title="line")
+    p.add(rng.normal(size=(32, 32)), title="image")
+    p.add(rng.normal(size=12 * 4**2), title="healpix")
+    p.add((np.geomspace(1, 100, 20), np.geomspace(1, 1e-4, 20)),
+          kind="loglog", title="spec")
+    fn = os.path.join(tmp_path, "out.png")
+    p.output(name=fn)
+    assert os.path.isfile(fn) and os.path.getsize(fn) > 0
+
+
+def test_mollweide_grid():
+    from nifty_tpu.plot import mollweide_grid_from_healpix
+
+    m = np.arange(12.0 * 4**2)
+    g = mollweide_grid_from_healpix(m, xsize=128)
+    assert g.shape == (64, 128)
+    inside = np.isfinite(g)
+    assert inside.any() and (~inside).any()
+    assert g[inside].min() >= 0 and g[inside].max() < m.size
+
+
+def _tiny_linear_lh(n_dat=8, n_par=4, noise_std=0.3, seed=0):
+    a = random.normal(random.PRNGKey(seed), (n_dat, n_par)) / jnp.sqrt(n_par)
+    xi = random.normal(random.PRNGKey(seed + 1), (n_par,))
+    data = a @ xi + noise_std * random.normal(random.PRNGKey(seed + 2), (n_dat,))
+    lh = nt.Gaussian(data, noise_cov_inv=lambda x: x / noise_std**2).amend(
+        lambda x: a @ x, domain=jnp.zeros((n_par,))
+    )
+    m = np.asarray(a.T @ a / noise_std**2 + jnp.eye(n_par))
+    cov = np.linalg.inv(m)
+    mean = cov @ np.asarray(a.T @ data / noise_std**2)
+    return lh, mean, cov
+
+
+def test_mean_field_vi():
+    lh, mean, cov = _tiny_linear_lh()
+    mf = nt.MeanFieldVI(lh, jnp.zeros(4), n_samples=8)
+    mf.fit(random.PRNGKey(3), n_steps=600)
+    np.testing.assert_allclose(np.asarray(mf.mean), mean, atol=0.1)
+    np.testing.assert_allclose(
+        np.asarray(mf.std), np.sqrt(np.diag(cov)), rtol=0.4
+    )
+
+
+def test_full_covariance_vi():
+    lh, mean, cov = _tiny_linear_lh()
+    fc = nt.FullCovarianceVI(lh, jnp.zeros(4), n_samples=8)
+    fc.fit(random.PRNGKey(4), n_steps=800)
+    np.testing.assert_allclose(np.asarray(fc.mean), mean, atol=0.1)
+    np.testing.assert_allclose(np.asarray(fc.covariance()), cov, atol=0.15)
+
+
+def test_consistency_checks_pass_for_valid_model():
+    lh, _, _ = _tiny_linear_lh()
+    pos = lh.init(random.PRNGKey(5))
+    nt.extra.check_likelihood_metrics(lh, pos, random.PRNGKey(6))
+    cfm = nt.CorrelatedFieldMaker("cf")
+    cfm.set_amplitude_total_offset(0.0, (1e-1, 3e-2))
+    cfm.add_fluctuations((16,), 1.0 / 16, (1.0, 0.5), (-3.0, 0.2))
+    cf = cfm.finalize()
+    p = cf.init(random.PRNGKey(7))
+    nt.extra.check_model_jacobian(cf, p, random.PRNGKey(8))
+
+
+def test_check_linear_model():
+    a = random.normal(random.PRNGKey(9), (6, 6))
+    nt.extra.check_linear_model(
+        lambda x: a @ x, jnp.zeros(6), random.PRNGKey(10)
+    )
+
+
+CFG = """
+[optimization]
+output directory = {odir}
+
+[base.opt]
+sample mode = linear_resample
+
+[optimization.1]
+base = base.opt
+total iterations = 3
+n samples = 2*2,3
+
+[optimization.02]
+base = base.opt
+total iterations = 2
+n samples = 4
+sample mode = nonlinear_update
+"""
+
+
+def test_optimize_kl_config_parsing(tmp_path):
+    from configparser import ConfigParser
+
+    from nifty_tpu.config_file import OptimizeKLConfig
+
+    cfg_file = os.path.join(tmp_path, "c.cfg")
+    with open(cfg_file, "w") as f:
+        f.write(CFG.format(odir=os.path.join(tmp_path, "out")))
+    cfg = OptimizeKLConfig.from_file(cfg_file)
+    d = dict(cfg)
+    assert d["n_total_iterations"] == 5
+    ns = d["n_samples"]
+    assert [ns(i) for i in range(5)] == [2, 2, 3, 4, 4]
+    sm = d["sample_mode"]
+    assert sm(0) == "linear_resample" and sm(4) == "nonlinear_update"
+
+
+def test_optimize_kl_config_run(tmp_path):
+    """Full config-driven inference on a tiny model."""
+    from configparser import ConfigParser
+
+    from nifty_tpu.config_file import OptimizeKLConfig
+
+    cfg_file = os.path.join(tmp_path, "c.cfg")
+    with open(cfg_file, "w") as f:
+        f.write(
+            "[optimization]\n"
+            f"output directory = {os.path.join(tmp_path, 'out')}\n"
+            "[optimization.0]\n"
+            "total iterations = 2\n"
+            "n samples = 2\n"
+            "sample mode = linear_resample\n"
+            "likelihood = *lh\n"
+        )
+
+    def build_lh():
+        lh, _, _ = _tiny_linear_lh()
+        return lh
+
+    cfg = OptimizeKLConfig.from_file(cfg_file, {"lh": lambda: build_lh()})
+    samples, state = cfg.optimize_kl(
+        build_lh().init(random.PRNGKey(11)), key=random.PRNGKey(12)
+    )
+    assert state.nit == 2
+    assert len(samples) == 4  # 2 mirrored samples
