@@ -1,0 +1,159 @@
+"""SKI covariances, LOS response, and NUFFT tests."""
+
+import jax
+import numpy as np
+import pytest
+from jax import numpy as jnp
+from jax import random
+
+from nifty_tpu.los import SamplingCartesianGridLOS
+from nifty_tpu.ops.nufft import nufft2, nufft_adjoint
+from nifty_tpu.ski import HarmonicSKI, ToeplitzSKI, interp_mat, matmul_toeplitz
+
+
+def test_matmul_toeplitz():
+    rng = np.random.default_rng(0)
+    c = rng.normal(size=17)
+    t = np.empty((17, 17))
+    for i in range(17):
+        for j in range(17):
+            t[i, j] = c[abs(i - j)]
+    x = rng.normal(size=(17, 3))
+    np.testing.assert_allclose(
+        np.asarray(matmul_toeplitz(jnp.asarray(c), jnp.asarray(x))),
+        t @ x,
+        rtol=1e-10,
+    )
+
+
+def test_interp_mat_partition_of_unity():
+    pts = np.random.default_rng(1).uniform(0.05, 0.95, size=(2, 40))
+    w = interp_mat((16, 16), [(0.0, 1.0), (0.0, 1.0)], pts)
+    rowsums = np.asarray((w @ jnp.ones(16 * 16)))
+    np.testing.assert_allclose(rowsums, 1.0, rtol=1e-12)
+
+
+def test_interp_mat_exact_on_linear_function():
+    """Multilinear interpolation reproduces affine functions exactly."""
+    n = 12
+    pts = np.random.default_rng(2).uniform(0.1, 0.8, size=(2, 30))
+    w = interp_mat((n, n), [(0.0, 1.0), (0.0, 1.0)], pts)
+    xg, yg = np.meshgrid(np.arange(n) / n, np.arange(n) / n, indexing="ij")
+    f = 2.0 * xg + 3.0 * yg + 1.0
+    out = np.asarray(w @ jnp.asarray(f.ravel()))
+    expect = 2.0 * pts[0] + 3.0 * pts[1] + 1.0
+    np.testing.assert_allclose(out, expect, rtol=1e-10)
+
+
+def test_toeplitz_ski_covariance():
+    """SKI covariance ≈ true kernel matrix for on/near-grid points."""
+    kern = lambda r: np.exp(-0.5 * (np.asarray(r) / 0.2) ** 2)
+    pts = np.random.default_rng(3).uniform(0.1, 0.9, size=(1, 25))
+    ski = ToeplitzSKI((64,), [(0.0, 1.0)], pts, kernel=lambda r: jnp.exp(
+        -0.5 * (r / 0.2) ** 2), jitter=False)
+    cov = np.asarray(ski.evaluate())
+    d = np.abs(pts[0][:, None] - pts[0][None, :])
+    true = kern(d)
+    np.testing.assert_allclose(cov, true, atol=0.01)
+
+
+def test_harmonic_ski_spd_and_symmetric():
+    pts = np.random.default_rng(4).uniform(0.1, 0.9, size=(1, 20))
+    hk = lambda k: 1.0 / (1.0 + (k / 5.0) ** 2) ** 2  # smooth spectrum
+    ski = HarmonicSKI((32,), [(0.0, 1.0)], pts, harmonic_kernel=hk)
+    cov = np.asarray(ski.evaluate())
+    np.testing.assert_allclose(cov, cov.T, atol=1e-10)
+    ev = np.linalg.eigvalsh(cov)
+    assert ev.min() > 0
+
+
+def test_harmonic_ski_correlated_field_shape():
+    pts = np.random.default_rng(5).uniform(0.1, 0.9, size=(2, 10))
+    hk = lambda k: 1.0 / (1.0 + k**2)
+    ski = HarmonicSKI((16, 16), [(0.0, 1.0)] * 2, pts, harmonic_kernel=hk)
+    xi = random.normal(random.PRNGKey(0), ski.grid_shape)
+    f = ski.correlated_field(xi)
+    assert f.shape == (16, 16)
+    assert np.all(np.isfinite(np.asarray(f)))
+
+
+def test_los_constant_field():
+    """LOS integral of a constant field equals the ray length."""
+    shape = (32, 32)
+    dist = (1.0 / 32, 1.0 / 32)
+    start = np.array([[0.1, 0.1]])
+    end = np.array([[0.9, 0.5]])
+    los = SamplingCartesianGridLOS(
+        start, end, shape=shape, distances=dist, n_sampling_points=2000
+    )
+    out = np.asarray(los(jnp.ones(shape)))
+    np.testing.assert_allclose(out, np.linalg.norm(end - start), rtol=1e-3)
+
+
+def test_los_linear_field_multi_ray():
+    shape = (64, 64)
+    dist = (1.0 / 64, 1.0 / 64)
+    xg = (np.arange(64) + 0.5) / 64
+    field = np.broadcast_to(xg[:, None], shape).copy()  # f(x, y) = x
+    start = np.array([0.5, 0.5])
+    end = np.array([[0.9, 0.5], [0.1, 0.5], [0.5, 0.9]])
+    los = SamplingCartesianGridLOS(
+        start, end, shape=shape, distances=dist, n_sampling_points=4000
+    )
+    out = np.asarray(los(jnp.asarray(field)))
+    # ∫ x dl along each ray
+    expect = np.array([0.4 * 0.7, 0.4 * 0.3, 0.4 * 0.5])
+    np.testing.assert_allclose(out, expect, atol=5e-3)
+
+
+@pytest.mark.parametrize("ndim", [1, 2])
+def test_nufft2_matches_direct_dft(ndim):
+    rng = np.random.default_rng(6)
+    shape = (16,) * ndim
+    x = rng.normal(size=shape)
+    m = 12
+    coords = rng.uniform(-0.5, 0.5, size=(ndim, m))
+    fast = np.asarray(nufft2(jnp.asarray(x), jnp.asarray(coords)))
+    # direct DFT with centered indices
+    grids = np.meshgrid(
+        *[np.arange(n) - n // 2 for n in shape], indexing="ij"
+    )
+    direct = np.zeros(m, dtype=complex)
+    for k in range(m):
+        phase = sum(coords[d, k] * grids[d] for d in range(ndim))
+        direct[k] = np.sum(x * np.exp(-2j * np.pi * phase))
+    np.testing.assert_allclose(fast, direct, atol=5e-5 * np.abs(direct).max())
+    # higher kernel width → higher accuracy
+    fast8 = np.asarray(
+        nufft2(jnp.asarray(x), jnp.asarray(coords), kernel_width=10)
+    )
+    np.testing.assert_allclose(fast8, direct, atol=1e-7 * np.abs(direct).max())
+
+
+def test_nufft_adjointness():
+    rng = np.random.default_rng(7)
+    shape = (12, 12)
+    coords = jnp.asarray(rng.uniform(-0.5, 0.5, size=(2, 9)))
+    x = jnp.asarray(rng.normal(size=shape) + 1j * rng.normal(size=shape))
+    y = jnp.asarray(rng.normal(size=9) + 1j * rng.normal(size=9))
+    lhs = jnp.vdot(y, nufft2(x, coords))
+    rhs = jnp.vdot(nufft_adjoint(y, coords, shape), x)
+    np.testing.assert_allclose(complex(lhs), complex(rhs), rtol=1e-10)
+
+
+def test_nufft_differentiable_in_coords():
+    """Variable-position NUFFT: gradients flow through coords."""
+    x = jnp.asarray(np.random.default_rng(8).normal(size=(16,)))
+    coords = jnp.asarray([[0.1, 0.2, -0.3]])
+
+    def loss(c):
+        return jnp.sum(jnp.abs(nufft2(x, c)) ** 2)
+
+    g = jax.grad(loss)(coords)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # finite-difference check on one entry
+    eps = 1e-6
+    c_p = coords.at[0, 1].add(eps)
+    c_m = coords.at[0, 1].add(-eps)
+    fd = (loss(c_p) - loss(c_m)) / (2 * eps)
+    np.testing.assert_allclose(float(g[0, 1]), float(fd), rtol=1e-4)
