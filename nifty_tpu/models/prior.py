@@ -18,7 +18,10 @@ from ..num.stats_distributions import (
 from ..utils.tree import ShapeWithDtype
 
 __all__ = [
+    "BetaPrior",
+    "GammaPrior",
     "InvGammaPrior",
+    "LogInvGammaPrior",
     "LaplacePrior",
     "LogNormalPrior",
     "NormalPrior",
@@ -66,3 +69,34 @@ class InvGammaPrior(_PriorCall):
     def __init__(self, a, scale, loc=0.0, step=1e-2, **kwargs):
         self.a, self.scale = a, scale
         super().__init__(invgamma_prior(a, scale, loc=loc, step=step), **kwargs)
+
+
+class GammaPrior(_PriorCall):
+    """Capability parity with the reference's ``GammaOperator``
+    (``nifty/cl/library/special_distributions.py:211``)."""
+
+    def __init__(self, a, scale=1.0, loc=0.0, step=1e-2, **kwargs):
+        from ..num.stats_distributions import gamma_prior
+
+        self.a, self.scale = a, scale
+        super().__init__(gamma_prior(a, scale, loc=loc, step=step), **kwargs)
+
+
+class BetaPrior(_PriorCall):
+    """Parity: ``nifty/cl/library/special_distributions.py:314``."""
+
+    def __init__(self, a, b, step=1e-2, **kwargs):
+        from ..num.stats_distributions import beta_prior
+
+        self.a, self.b = a, b
+        super().__init__(beta_prior(a, b, step=step), **kwargs)
+
+
+class LogInvGammaPrior(_PriorCall):
+    """Parity: ``nifty/cl/library/special_distributions.py:301``."""
+
+    def __init__(self, a, scale, loc=0.0, step=1e-2, **kwargs):
+        from ..num.stats_distributions import loginvgamma_prior
+
+        self.a, self.scale = a, scale
+        super().__init__(loginvgamma_prior(a, scale, loc=loc, step=step), **kwargs)

@@ -19,6 +19,9 @@ from jax.scipy.stats import norm as _jnorm
 from jax.tree_util import Partial, tree_map
 
 __all__ = [
+    "beta_prior",
+    "gamma_prior",
+    "loginvgamma_prior",
     "interpolator",
     "invgamma_invprior",
     "invgamma_prior",
@@ -186,3 +189,49 @@ def invgamma_invprior(a, scale, loc=0.0, step=1e-2) -> Callable:
         return_inverse=True,
     )
     return inv
+
+
+def gamma_prior(a, scale=1.0, loc=0.0, step=1e-2) -> Callable:
+    """Standard normal → gamma via tabulated quantile transform
+    (capability parity with ``nifty/cl/library/special_distributions.py:211``
+    ``GammaOperator``)."""
+    from scipy.stats import gamma, norm
+
+    if not np.isscalar(a) or not np.isscalar(loc):
+        raise TypeError("shape `a` and location `loc` must be scalars")
+    xmin, xmax = -8.2, 8.2
+    if loc == 0.0:
+        interp = interpolator(
+            lambda x: gamma.ppf(norm._cdf(x), a=a),
+            xmin, xmax, step=step,
+            table_func=jnp.log, inv_table_func=jnp.exp,
+        )
+        return lambda x: interp(x) * scale
+    interp = interpolator(
+        lambda x: gamma.ppf(norm._cdf(x), a=a, loc=loc, scale=scale),
+        xmin, xmax, step=step,
+    )
+    return interp
+
+
+def beta_prior(a, b, step=1e-2) -> Callable:
+    """Standard normal → beta(a, b) on (0, 1) via tabulated quantiles
+    (parity: ``nifty/cl/library/special_distributions.py:314``)."""
+    from scipy.stats import beta as beta_dist, norm
+
+    xmin, xmax = -8.2, 8.2
+    # logit-space interpolation keeps the (0, 1) bounds exact
+    logit = lambda p: jnp.log(p) - jnp.log1p(-p)
+    expit = lambda y: 1.0 / (1.0 + jnp.exp(-y))
+    return interpolator(
+        lambda x: beta_dist.ppf(norm._cdf(x), a=a, b=b),
+        xmin, xmax, step=step,
+        table_func=logit, inv_table_func=expit,
+    )
+
+
+def loginvgamma_prior(a, scale, loc=0.0, step=1e-2) -> Callable:
+    """Standard normal → log of an inverse-gamma variate (parity:
+    ``nifty/cl/library/special_distributions.py:301``)."""
+    ig = invgamma_prior(a, scale, loc=loc, step=step)
+    return lambda x: jnp.log(ig(x))

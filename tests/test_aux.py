@@ -197,3 +197,43 @@ def test_optimize_kl_config_run(tmp_path):
     )
     assert state.nit == 2
     assert len(samples) == 4  # 2 mirrored samples
+
+
+def test_new_prior_families_match_scipy():
+    from scipy.stats import beta as beta_d
+    from scipy.stats import gamma as gamma_d
+    from scipy.stats import invgamma, kstest
+
+    x = np.asarray(random.normal(random.PRNGKey(13), (20000,)))
+    s = np.asarray(nt.GammaPrior(2.0, 3.0, name="g")({"g": jnp.asarray(x)}))
+    assert kstest(s, gamma_d(a=2.0, scale=3.0).cdf).pvalue > 1e-3
+    s = np.asarray(nt.BetaPrior(2.0, 5.0, name="b")({"b": jnp.asarray(x)}))
+    assert kstest(s, beta_d(a=2.0, b=5.0).cdf).pvalue > 1e-3
+    assert s.min() > 0 and s.max() < 1
+    s = np.asarray(
+        nt.LogInvGammaPrior(3.0, 2.0, name="l")({"l": jnp.asarray(x)})
+    )
+    assert kstest(np.exp(s), invgamma(a=3.0, scale=2.0).cdf).pvalue > 1e-3
+
+
+def test_samples_persistence_roundtrip(tmp_path):
+    from nifty_tpu.io import load_samples, samples_to_hdf5, save_samples
+
+    smpls = nt.Samples(
+        pos={"a": jnp.ones(4)},
+        samples={"a": jnp.asarray(np.random.default_rng(0).normal(size=(3, 4)))},
+    )
+    fn = os.path.join(tmp_path, "s.pkl")
+    save_samples(smpls, fn)
+    back = load_samples(fn)
+    np.testing.assert_allclose(
+        np.asarray(back.samples["a"]), np.asarray(smpls.samples["a"])
+    )
+    h5 = os.path.join(tmp_path, "s.h5")
+    samples_to_hdf5(smpls, h5, operators={"sq": lambda s: {"a": s["a"] ** 2}})
+    import h5py
+
+    with h5py.File(h5) as f:
+        assert f.attrs["n_samples"] == 3
+        assert f["latent"]["samples"]["0"].shape == (3, 4)
+        assert f["sq"]["mean"]["0"].shape == (4,)
