@@ -21,7 +21,7 @@ from .evi import (
     sample_likelihood,
     wiener_filter_posterior,
 )
-from . import extra, hmc, lax
+from . import extra, hmc, lax, multi_grid
 from .check_model import check_model
 from .config_file import OptimizeKLConfig
 from .empirical_power_spectrum import compute_empirical_power_spectrum
@@ -73,13 +73,19 @@ from .models.gauss_markov import (
     ornstein_uhlenbeck_process,
     wiener_process,
 )
+from .los import SamplingCartesianGridLOS
 from .models.prior import (
+    BetaPrior,
+    GammaPrior,
     InvGammaPrior,
     LaplacePrior,
+    LogInvGammaPrior,
     LogNormalPrior,
     NormalPrior,
     UniformPrior,
 )
+from .ops.nufft import nufft1, nufft2, nufft_adjoint
+from .ski import HarmonicSKI, ToeplitzSKI, interp_mat, matmul_toeplitz
 from .num.stats_distributions import (
     interpolator,
     invgamma_invprior,
