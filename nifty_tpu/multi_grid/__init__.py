@@ -1,0 +1,4 @@
+from .correlated_field import ICRField
+from .grid import Grid, LogGrid, MGrid, SimpleOpenGrid
+from .kernel import ICRKernel, apply_kernel
+from .matern import MaternCovarianceModel, matern_spectral_covariance
