@@ -74,6 +74,11 @@ from .models.gauss_markov import (
     wiener_process,
 )
 from .los import SamplingCartesianGridLOS
+from .models.dynamics import (
+    dynamic_lightcone_operator,
+    dynamic_operator,
+    light_cone,
+)
 from .models.prior import (
     BetaPrior,
     GammaPrior,

@@ -10,6 +10,12 @@ from .correlated_field import (
     get_spherical_mode_distributor,
     make_grid,
 )
+from .dynamics import (
+    dynamic_lightcone_operator,
+    dynamic_operator,
+    light_cone,
+    signed_fft_coords,
+)
 from .gauss_markov import (
     GaussMarkovProcess,
     IntegratedWienerProcess,
@@ -21,7 +27,10 @@ from .gauss_markov import (
     wiener_process,
 )
 from .prior import (
+    BetaPrior,
+    GammaPrior,
     InvGammaPrior,
+    LogInvGammaPrior,
     LaplacePrior,
     LogNormalPrior,
     NormalPrior,
