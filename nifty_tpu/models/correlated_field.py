@@ -566,7 +566,10 @@ class CorrelatedFieldMaker:
             return outer
 
         def expand(amp, sgrid):
-            distributor = jnp.asarray(sgrid.harmonic_grid.power_distributor)
+            # keep the index table as *numpy*: converted per trace it
+            # embeds as an HLO literal (fast), whereas a closed-over
+            # device array forces a device fetch per compile
+            distributor = np.asarray(sgrid.harmonic_grid.power_distributor)
 
             def expanded(p):
                 return amp(p)[distributor]

@@ -122,12 +122,12 @@ def dynamic_operator(
     denom = 1.0
     for i in range(ndim):
         denom = denom + (idx[i] / sm_x0[i]) ** 2
-    sm_weight = jnp.asarray(sm_s0 / denom)
+    sm_weight = np.asarray(sm_s0 / denom)
 
     # time-axis causal mask (1 + sign(t): doubles positive times, zeroes
     # negative ones; t is FFT-layout axis 0 of the *original* grid)
     t = signed_fft_coords(shape, distances)[0]
-    causal_mask = jnp.asarray(1.0 + np.sign(t))
+    causal_mask = np.asarray(1.0 + np.sign(t))
 
     def smoothed_dynamics(x):
         xi = x[key]

@@ -174,12 +174,15 @@ class OptimizeVI:
                 map=kl_map,
                 reduce=kl_reduce,
             )
+        # NOTE: the likelihood is *not* partial-bound here — it is threaded
+        # as an explicit (pytree) argument through vmap/jit so its data
+        # arrays are runtime inputs rather than constants baked into every
+        # compiled program.
         if _draw_linear_residual is None:
-            _draw_linear_residual = partial(draw_linear_residual, likelihood)
+            _draw_linear_residual = draw_linear_residual
         if _nonlinearly_update_residual is None:
-            _nonlinearly_update_residual = partial(
-                nonlinearly_update_residual, likelihood
-            )
+            _nonlinearly_update_residual = nonlinearly_update_residual
+        self.likelihood = likelihood
         if _get_status_message is None:
             _get_status_message = partial(
                 get_status_message,
@@ -201,10 +204,10 @@ class OptimizeVI:
     def draw_linear_samples(self, primals, keys, **kwargs):
         kwargs = hide_strings(kwargs)
         sampler = Partial(self.draw_linear_residual, **kwargs)
-        sampler = self.residual_map(sampler, in_axes=(None, 0))
+        sampler = self.residual_map(sampler, in_axes=(None, None, 0))
 
         if self.named_sharding is None:
-            smpls, states = sampler(primals, keys)
+            smpls, states = sampler(self.likelihood, primals, keys)
             # interleave each sample with its mirror
             smpls = concatenate_zip(smpls, tree_map(jnp.negative, smpls))
             return Samples(pos=primals, samples=smpls, keys=keys), states
@@ -219,10 +222,14 @@ class OptimizeVI:
         if special_mirror:
             keys = jnp.repeat(keys, 2, axis=0)
         keys = jax.device_put(keys, ns)
-        in_shardings = (tree_map(lambda _: ns_rep, primals), ns)
+        in_shardings = (
+            tree_map(lambda _: ns_rep, self.likelihood),
+            tree_map(lambda _: ns_rep, primals),
+            ns,
+        )
         out_shardings = (tree_map(lambda _: ns, primals), ns)
         sampler = jax.jit(sampler, in_shardings=in_shardings, out_shardings=out_shardings)
-        smpls, states = sampler(primals, keys)
+        smpls, states = sampler(self.likelihood, primals, keys)
         if special_mirror:
 
             @partial(jax.jit, out_shardings=ns)
@@ -250,15 +257,23 @@ class OptimizeVI:
         sgn = jnp.ones(len(samples.keys))
         sgn = concatenate_zip(sgn, -sgn)
         curver = Partial(self.nonlinearly_update_residual, **kwargs)
-        curver = self.residual_map(curver, in_axes=(None, 0, 0, 0))
+        curver = self.residual_map(curver, in_axes=(None, None, 0, 0, 0))
         if self.named_sharding is not None:
             ns, ns_rep = self.named_sharding, self.named_sharding_rep
             metric_sample_key = jax.device_put(metric_sample_key, ns)
             sgn = jax.device_put(sgn, ns)
-            in_sh = (tree_map(lambda _: ns_rep, samples.pos), tree_map(lambda _: ns, samples.pos), ns, ns)
+            in_sh = (
+                tree_map(lambda _: ns_rep, self.likelihood),
+                tree_map(lambda _: ns_rep, samples.pos),
+                tree_map(lambda _: ns, samples.pos),
+                ns,
+                ns,
+            )
             out_sh = (tree_map(lambda _: ns, samples.pos), ns)
             curver = jax.jit(curver, in_shardings=in_sh, out_shardings=out_sh)
-        smpls, states = curver(samples.pos, samples._samples, metric_sample_key, sgn)
+        smpls, states = curver(
+            self.likelihood, samples.pos, samples._samples, metric_sample_key, sgn
+        )
         return Samples(pos=samples.pos, samples=smpls, keys=samples.keys), states
 
     def draw_samples(

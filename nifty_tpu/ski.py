@@ -227,9 +227,7 @@ class ToeplitzSKI:
         self.grid_distances = (gb[:, 1] - gb[:, 0]) / np.asarray(grid_shape)
         mg = np.mgrid[tuple(slice(s) for s in self.grid_shape)].astype(float)
         mg *= self.grid_distances.reshape((-1,) + (1,) * len(self.grid_shape))
-        self.grid_distances_to_zero = jnp.asarray(
-            np.linalg.norm(mg, axis=0)
-        )
+        self.grid_distances_to_zero = np.linalg.norm(mg, axis=0)
         self.w = interp_mat(grid_shape, grid_bounds, sampling_points)
         self._kernel = kernel
 
