@@ -36,7 +36,19 @@ SIZES = [
 ]
 
 
+def _np_tree_like(shapes, rng):
+    return jax.tree_util.tree_map(
+        lambda s: rng.standard_normal(s.shape).astype(s.dtype)
+        if jnp.issubdtype(s.dtype, jnp.floating)
+        else np.zeros(s.shape, s.dtype),
+        shapes,
+    )
+
+
 def build_likelihood(shape):
+    """All setup runs on the host / CPU backend: the TPU sees exactly one
+    compiled program (the metric apply) per size — important because the
+    tunneled compile path slows down drastically after a few programs."""
     import nifty_tpu as nt
 
     cfm = nt.CorrelatedFieldMaker("cf")
@@ -53,13 +65,15 @@ def build_likelihood(shape):
     def fwd(x):
         return jnp.exp(cf(x))
 
-    key = random.PRNGKey(42)
-    pos = nt.Vector(cf.init(key))
-    rate = np.asarray(jax.jit(fwd)(pos))
-    # host-side data generation: keeps the data a plain runtime array
-    data = np.random.default_rng(43).poisson(np.clip(rate, 0, 1e6))
-    lh = nt.Poissonian(jnp.asarray(data.astype(np.int32))).amend(fwd)
-    tangent = nt.random_like(random.PRNGKey(44), pos)
+    rng = np.random.default_rng(42)
+    shapes = jax.eval_shape(cf.init, random.PRNGKey(0))
+    pos_np = _np_tree_like(shapes, rng)
+    # the Fisher metric is data-independent — synthetic counts suffice
+    data = rng.poisson(1.0, size=shape).astype(np.int32)
+    lh = nt.Poissonian(jnp.asarray(data)).amend(fwd)
+    tangent_np = _np_tree_like(shapes, np.random.default_rng(44))
+    pos = nt.Vector(jax.tree_util.tree_map(jax.device_put, pos_np))
+    tangent = nt.Vector(jax.tree_util.tree_map(jax.device_put, tangent_np))
     return lh, pos, tangent
 
 
@@ -84,7 +98,7 @@ def time_apply(lh, pos, tangent, n_iter=20):
 def main():
     result = None
     for shape, baseline_ms in SIZES:
-        if result is not None and time.time() - _T0 > TIME_BUDGET_S * 0.6:
+        if result is not None and time.time() - _T0 > TIME_BUDGET_S * 0.5:
             break
         try:
             lh, pos, tangent = build_likelihood(shape)
@@ -98,21 +112,23 @@ def main():
             f"(elapsed {time.time() - _T0:.0f}s)",
             file=sys.stderr,
         )
+        # emit best-so-far immediately — a timeout kill at a larger size
+        # must not lose the result (last stdout line wins)
+        print(
+            json.dumps(
+                {
+                    "metric": f"cf2d_poisson_metric_apply_{shape[0]}x{shape[1]}",
+                    "value": round(t * 1e3, 3),
+                    "unit": "ms",
+                    "vs_baseline": round(baseline_ms / (t * 1e3), 3),
+                }
+            ),
+            flush=True,
+        )
         if time.time() - _T0 > TIME_BUDGET_S:
             break
     if result is None:
         raise SystemExit("benchmark failed at every size")
-    shape, baseline_ms, value_ms = result
-    print(
-        json.dumps(
-            {
-                "metric": f"cf2d_poisson_metric_apply_{shape[0]}x{shape[1]}",
-                "value": round(value_ms, 3),
-                "unit": "ms",
-                "vs_baseline": round(baseline_ms / value_ms, 3),
-            }
-        )
-    )
 
 
 if __name__ == "__main__":

@@ -269,8 +269,10 @@ class NonParametricAmplitude(Model):
                 asperity = WrappedCall(
                     asperity, name=prefix + "asperity", white_init=True
                 )
+            # x0 as numpy: build-time device arrays in model closures make
+            # tunneled TPU compiles pathologically slow
             self.deviations = IntegratedWienerProcess(
-                jnp.zeros((2,)),
+                np.zeros((2,)),
                 flexibility,
                 log_vol,
                 name=prefix + "spectrum",

@@ -92,16 +92,22 @@ def integrated_wiener_process(xi, x0, sigma, dt, asperity=None):
     `xi` has shape (N, 2): one column drives the integrated component, the
     other the underlying Wiener process; `asperity` adds a rough WP
     component to the integrated coordinate.
+
+    TPU note: the two prefix sums run on *flat 1-D* arrays and the
+    (N+1, 2) result is assembled at the end — a cumsum along axis 0 of an
+    (N, 2) array hits a catastrophic sublane-scan path on TPU (~2000×
+    slower at N ≈ 1e5).
     """
     asperity = 0.0 if asperity is None else asperity
     dt = jnp.ones(xi.shape[0], dtype=jnp.result_type(xi)) * dt if _isscalar(dt) else dt
-    res = (sigma * jnp.sqrt(dt))[:, jnp.newaxis] * xi
-    res = res.at[:, 0].mul(jnp.sqrt(dt**2 / 12.0 + asperity))
-    res = res.at[:, 0].add(0.5 * dt * res[:, 1])
-    res = jnp.concatenate((x0[jnp.newaxis, ...], res), axis=0)
-    res = res.at[:, 1].set(jnp.cumsum(res[:, 1]))
-    res = res.at[1:, 0].add(dt * res[:-1, 1])
-    return res.at[:, 0].set(jnp.cumsum(res[:, 0]))
+    amp = sigma * jnp.sqrt(dt)
+    incr_y = amp * xi[:, 0] * jnp.sqrt(dt**2 / 12.0 + asperity)
+    incr_s = amp * xi[:, 1]
+    incr_y = incr_y + 0.5 * dt * incr_s
+    s = jnp.cumsum(jnp.concatenate((x0[1:2], incr_s)))
+    y_incr = jnp.concatenate((x0[0:1], incr_y + dt * s[:-1]))
+    y = jnp.cumsum(y_incr)
+    return jnp.stack((y, s), axis=-1)
 
 
 def ornstein_uhlenbeck_process(xi, x0, sigma, gamma, dt):
