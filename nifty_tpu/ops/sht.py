@@ -36,6 +36,9 @@ from jax import numpy as jnp
 from jax import vmap
 
 __all__ = [
+    "gauss_legendre_analysis",
+    "gauss_legendre_grid",
+    "gauss_legendre_synthesis",
     "healpix_ring_geometry",
     "healpix_synthesis",
     "get_healpix_synthesis",
@@ -279,3 +282,113 @@ def get_healpix_synthesis(nside, axis, lmax, mmax):
         return trafo(inp)
 
     return f
+
+
+# --- Gauss-Legendre grid (exact quadrature) ----------------------------------
+
+
+def _legendre_rows(cos_theta, sin_theta, lmax: int, mmax: int, dtype):
+    """All λ rows stacked: (lmax+1, n_rings, mmax+1) via the same blocked
+    recurrence used by :func:`_legendre_contract` (testing / analysis)."""
+    n_rings = cos_theta.shape[0]
+    a_np, b_np, dfac_np = _recurrence_tables(lmax, mmax)
+    a_next = jnp.asarray(a_np[1 : lmax + 2], dtype=dtype)
+    b_next = jnp.asarray(b_np[1 : lmax + 2], dtype=dtype)
+    dfac_next = jnp.asarray(dfac_np[: lmax + 1], dtype=dtype)
+    col = jnp.arange(mmax + 1)
+    ct = cos_theta[:, None].astype(dtype)
+    st = sin_theta.astype(dtype)
+    lam00 = 1.0 / np.sqrt(4.0 * np.pi)
+    p_prev = jnp.zeros((n_rings, mmax + 1), dtype=dtype)
+    p_curr = jnp.zeros((n_rings, mmax + 1), dtype=dtype).at[:, 0].set(lam00)
+    diag = jnp.full((n_rings,), lam00, dtype=dtype)
+
+    def step(carry, xs):
+        p_prev, p_curr, diag = carry
+        l, a_n, b_n, d_n = xs
+        p_new = a_n[None, :] * ct * p_curr - b_n[None, :] * p_prev
+        new_diag = d_n * st * diag
+        sel = col[None, :] == (l + 1)
+        p_new = jnp.where(sel & ((l + 1) <= mmax), new_diag[:, None], p_new)
+        return (p_curr, p_new, new_diag), p_curr
+
+    xs = (jnp.arange(lmax + 1), a_next, b_next, dfac_next)
+    _, lam = lax.scan(step, (p_prev, p_curr, diag), xs)
+    return lam  # (lmax+1, n_rings, mmax+1)
+
+
+def gauss_legendre_grid(lmax: int, n_phi=None):
+    """Gauss–Legendre sphere pixelization: ``lmax+1`` iso-latitude rings
+    at the Legendre nodes (quadrature-exact up to degree 2·lmax+1) ×
+    ``n_phi`` equidistant pixels (default 2·lmax+2).
+
+    Returns (cos θ nodes, quadrature weights, n_phi)."""
+    nodes, weights = np.polynomial.legendre.leggauss(lmax + 1)
+    n_phi = 2 * lmax + 2 if n_phi is None else int(n_phi)
+    # north → south ordering like the HEALPix routines
+    return nodes[::-1].copy(), weights[::-1].copy(), n_phi
+
+
+def gauss_legendre_synthesis(alm, lmax: int, mmax=None, n_phi=None):
+    """Real-alm synthesis onto the Gauss–Legendre grid: one Legendre
+    contraction + one batched FFT (every ring has the same length —
+    the fully regular, MXU/FFT-friendly sphere)."""
+    lmax = int(lmax)
+    mmax = lmax if mmax is None else int(mmax)
+    z, _, n_phi = gauss_legendre_grid(lmax, n_phi)
+    if mmax >= n_phi:
+        raise ValueError("n_phi must exceed mmax (no aliasing allowed)")
+    dtype = alm.dtype
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    cos_theta = jnp.asarray(z, dtype=dtype)
+    sin_theta = jnp.asarray(np.sqrt(1.0 - z**2), dtype=dtype)
+    c_re, c_im = unpack_real_alm(alm, lmax, mmax)
+    f_c, f_s = _legendre_contract(cos_theta, sin_theta, c_re, c_im, lmax, mmax)
+    w = np.full(mmax + 1, np.sqrt(2.0))
+    w[0] = 1.0
+    w *= np.sqrt(4.0 * np.pi)
+    g = (f_c + 1j * f_s).astype(cdtype) * jnp.asarray(w, dtype=dtype)
+    h = jnp.zeros((z.size, n_phi), dtype=cdtype).at[:, : mmax + 1].set(g)
+    return n_phi * jnp.real(jnp.fft.ifft(h, axis=-1)).astype(dtype)
+
+
+def gauss_legendre_analysis(f, lmax: int, mmax=None):
+    """Exact inverse of :func:`gauss_legendre_synthesis` for band-limited
+    maps: ring FFT + Gauss-quadrature-weighted Legendre projection."""
+    lmax = int(lmax)
+    mmax = lmax if mmax is None else int(mmax)
+    z, wq, n_phi = gauss_legendre_grid(lmax, f.shape[-1])
+    dtype = f.dtype
+    cos_theta = jnp.asarray(z, dtype=dtype)
+    sin_theta = jnp.asarray(np.sqrt(1.0 - z**2), dtype=dtype)
+
+    # ring Fourier coefficients:  G_m(θ_r) = (2π/n_phi) Σ_j f_rj e^{-imφ_j}
+    ft = jnp.fft.fft(f, axis=-1)[:, : mmax + 1] * (2.0 * np.pi / n_phi)
+    w = np.full(mmax + 1, np.sqrt(2.0))
+    w[0] = 1.0
+    w *= np.sqrt(4.0 * np.pi)
+    # undo the synthesis weights and apply quadrature in cos θ
+    g = ft / jnp.asarray(w, dtype=dtype) * jnp.asarray(wq, dtype=dtype)[:, None]
+    g_c = jnp.real(g)
+    g_s = jnp.imag(g)
+
+    lam = _legendre_rows(cos_theta, sin_theta, lmax, mmax, dtype)
+    # m ≥ 1 columns carry ∮cos² dφ = π (not 2π): compensate by 2
+    scale = np.full(mmax + 1, 2.0)
+    scale[0] = 1.0
+    c_re = jnp.einsum("lrm,rm->lm", lam, g_c) * jnp.asarray(scale, dtype=dtype)
+    c_im = jnp.einsum("lrm,rm->lm", lam, g_s) * jnp.asarray(scale, dtype=dtype)
+    # Gauss-Legendre quadrature integrates dcosθ; the orthonormal-Y
+    # normalization is already inside λ, so Σ_r wq λλ = δ/(2π)·... the
+    # 2π φ-integral is in `ft`; collect into packed real alm
+    idx_re, msk_re, idx_im, msk_im = _real_alm_index_maps(lmax, mmax)
+    size = (lmax + 1) ** 2 - (lmax - mmax) * (lmax - mmax + 1)
+    out = jnp.zeros((size,), dtype=dtype)
+    lgrid, mgrid = np.meshgrid(
+        np.arange(lmax + 1), np.arange(mmax + 1), indexing="ij"
+    )
+    sel = msk_re > 0
+    out = out.at[idx_re[sel]].set(c_re[sel])
+    sel_im = msk_im > 0
+    out = out.at[idx_im[sel_im]].set(c_im[sel_im])
+    return out

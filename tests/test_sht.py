@@ -133,3 +133,67 @@ def test_spherical_cfm_forward():
     )
     std = float(np.asarray(outs).std())
     assert 0.05 < std < 20.0
+
+
+def test_gauss_legendre_roundtrip_exact():
+    """analysis ∘ synthesis = identity on the GL grid (exact quadrature)."""
+    from nifty_tpu.ops.sht import (
+        gauss_legendre_analysis,
+        gauss_legendre_synthesis,
+    )
+
+    lmax = 12
+    size = _alm_size(lmax, lmax)
+    x = random.normal(random.PRNGKey(10), (size,))
+    f = gauss_legendre_synthesis(x, lmax)
+    back = gauss_legendre_analysis(f, lmax)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-10)
+
+
+def test_gauss_legendre_vs_brute_force():
+    from nifty_tpu.ops.sht import gauss_legendre_grid, gauss_legendre_synthesis
+
+    lmax = 6
+    size = _alm_size(lmax, lmax)
+    x = np.asarray(random.normal(random.PRNGKey(11), (size,)))
+    f = np.asarray(gauss_legendre_synthesis(jnp.asarray(x), lmax))
+    z, _, n_phi = gauss_legendre_grid(lmax)
+    theta = np.arccos(z)
+    phi = 2 * np.pi * np.arange(n_phi) / n_phi
+    c_re, c_im = map(
+        np.asarray, unpack_real_alm(jnp.asarray(x), lmax, lmax)
+    )
+    expect = np.zeros((z.size, n_phi))
+    for l in range(lmax + 1):
+        for m in range(0, l + 1):
+            lam = sph_harm_y(l, m, theta, 0.0).real
+            if m == 0:
+                expect += c_re[l, 0] * lam[:, None]
+            else:
+                expect += (
+                    np.sqrt(2.0)
+                    * lam[:, None]
+                    * (
+                        c_re[l, m] * np.cos(m * phi)[None, :]
+                        - c_im[l, m] * np.sin(m * phi)[None, :]
+                    )
+                )
+    np.testing.assert_allclose(f, np.sqrt(4 * np.pi) * expect, atol=1e-10)
+
+
+def test_gauss_legendre_parseval():
+    """Quadrature-weighted map power equals coefficient power."""
+    from nifty_tpu.ops.sht import gauss_legendre_grid, gauss_legendre_synthesis
+
+    lmax = 8
+    size = _alm_size(lmax, lmax)
+    x = random.normal(random.PRNGKey(12), (size,))
+    f = np.asarray(gauss_legendre_synthesis(x, lmax))
+    z, wq, n_phi = gauss_legendre_grid(lmax)
+    # ∮|f|² dΩ = 4π Σ c² with our √(4π)-scaled orthonormal basis
+    integral = float(
+        (wq[:, None] * f**2).sum() * (2 * np.pi / n_phi)
+    )
+    np.testing.assert_allclose(
+        integral, 4 * np.pi * float(jnp.sum(x**2)), rtol=1e-10
+    )
