@@ -1,4 +1,9 @@
 from .correlated_field import ICRField
 from .grid import Grid, LogGrid, MGrid, SimpleOpenGrid
+from .healpix_grid import (
+    HEALPixICRField,
+    HEALPixICRKernel,
+    HEALPixRefinementGrid,
+)
 from .kernel import ICRKernel, apply_kernel
 from .matern import MaternCovarianceModel, matern_spectral_covariance

@@ -242,3 +242,47 @@ def test_icr_layout_scales_without_block_materialization():
     lay = _LevelLayout(grid, 2, 1e-5, 1e-10)
     assert lay.n_unique == 1
     assert lay.dist_unique.shape[0] == 1
+
+
+def test_healpix_icr_field():
+    """ICR on the sphere: dedup collapses stencils; field statistics and
+    covariance structure are sane."""
+    from nifty_tpu import native
+    from nifty_tpu.multi_grid.healpix_grid import (
+        HEALPixICRField,
+        HEALPixICRKernel,
+        HEALPixRefinementGrid,
+    )
+
+    if not native.native_available():
+        pytest.skip("native healpix unavailable")
+    grid = HEALPixRefinementGrid(nside0=2, depth=2)  # 48 -> 192 -> 768 px
+    ell = 0.6
+    cov_fn = lambda r: jnp.exp(-0.5 * (r / ell) ** 2)
+    kern = HEALPixICRKernel(grid, cov_fn)
+    for lay in kern._layouts:
+        # ring symmetry: far fewer unique stencils than pixels
+        assert lay["dist_unique"].shape[0] < lay["npix"] / 2
+
+    f = HEALPixICRField(grid, cov_fn)
+    p = f.init(random.PRNGKey(20))
+    out = jax.jit(f)(p)
+    assert out.shape == (12 * 8 * 8,)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    # marginal variance ≈ cov(0) = 1 across realizations
+    outs = jax.vmap(lambda k: f(f.init(k)))(random.split(random.PRNGKey(21), 48))
+    var = np.asarray(outs).var(axis=0)
+    assert 0.5 < var.mean() < 1.5
+
+    # empirical spatial correlation follows the kernel: close pixel pairs
+    # correlate strongly, antipodal ones don't
+    from nifty_tpu.multi_grid.healpix_grid import _nest_vectors
+
+    vecs = _nest_vectors(8, np.arange(12 * 64))
+    smp = np.asarray(outs)
+    c01 = np.corrcoef(smp[:, 0], smp[:, 1])[0, 1]  # sibling pixels
+    far = np.argmax(((vecs - vecs[0]) ** 2).sum(-1))
+    cfar = np.corrcoef(smp[:, 0], smp[:, far])[0, 1]
+    assert c01 > 0.5
+    assert abs(cfar) < 0.45
