@@ -237,3 +237,24 @@ def test_samples_persistence_roundtrip(tmp_path):
         assert f.attrs["n_samples"] == 3
         assert f["latent"]["samples"]["0"].shape == (3, 4)
         assert f["sq"]["mean"]["0"].shape == (4,)
+
+
+def test_vmodel_multifrequency_cf():
+    """Batched (multi-frequency) correlated fields via VModel — the
+    jax-native counterpart of the cl CFM's total_N/dofdex batching
+    (reference: nifty/cl/library/correlated_fields.py:659)."""
+    cfm = nt.CorrelatedFieldMaker("mf")
+    cfm.set_amplitude_total_offset(0.0, (1e-1, 3e-2))
+    cfm.add_fluctuations((32,), 1.0 / 32, (1.0, 0.5), (-3.0, 0.2))
+    cf = cfm.finalize()
+    vcf = nt.VModel(cf, axis_size=3)
+    p = vcf.init(random.PRNGKey(14))
+    out = vcf(p)
+    assert out.shape == (3, 32)
+    # frequencies are independent: different realizations per slice
+    assert float(np.abs(np.asarray(out[0] - out[1])).max()) > 1e-3
+    # gradient flows through the batch
+    g = jax.grad(lambda q: float(0) + jnp.sum(vcf(q) ** 2))(p)
+    assert all(
+        np.all(np.isfinite(np.asarray(l))) for l in jax.tree_util.tree_leaves(g)
+    )

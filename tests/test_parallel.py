@@ -83,3 +83,16 @@ def test_sharded_cf_forward_consistency():
     pos_sharded = dict(pos, cfxi=xi)
     out = jax.jit(sharded_cf)(pos_sharded)
     np.testing.assert_allclose(np.asarray(out), local, atol=1e-8)
+
+
+def test_multihost_helpers_single_host():
+    from nifty_tpu.parallel import global_mesh, host_local_slice
+
+    m = global_mesh(("samples",))
+    assert m.devices.size == len(jax.devices())
+    m2 = global_mesh(("samples", "fx"), (2, len(jax.devices()) // 2))
+    assert m2.axis_names == ("samples", "fx")
+    # shareRange semantics
+    ranges = [host_local_slice(10, count=3, index=i) for i in range(3)]
+    assert ranges == [(0, 4), (4, 7), (7, 10)]
+    assert host_local_slice(5, count=1, index=0) == (0, 5)
