@@ -166,6 +166,11 @@ class _LevelLayout:
         self.axis_n_unique = axis_n_unique
 
 
+def _conv_dn(ndim: int):
+    spatial = "DHW"[-ndim:]
+    return (f"NC{spatial}", f"OI{spatial}", f"NC{spatial}")
+
+
 def _extract_windows(x, pad, window_shape, block_shape):
     """(coarse array) → (n_blocks, W) stencil windows via static shifted
     slices (no gather)."""
@@ -285,15 +290,40 @@ class ICRKernel:
             )
         x = (base_l @ xs[0].reshape(-1)).reshape(self.grid.shapes[0])
         for lay, (olf, ker) in zip(self._layouts, lvl_mats):
-            win = _extract_windows(x, lay.pad, lay.window_shape, lay.block_shape)
             xi = _extract_blocks(
                 xs[lay.level + 1], lay.splits, lay.block_shape
             )
-            if lay.n_unique == 1:
+            if lay.n_unique == 1 and 1 <= len(lay.block_shape) <= 3:
+                # translation-invariant stencil ⇒ the whole refinement is
+                # one VALID convolution with prod(splits) output channels
+                # (+ the ξ coloring) — MXU-native, and the coarse field is
+                # read once instead of W times
+                ndim = len(lay.block_shape)
+                lhs = x[None, None]  # (1, 1, spatial...)
+                rhs = olf[0].reshape((lay.c, 1) + lay.window_shape)
+                dn = jax.lax.conv_dimension_numbers(
+                    lhs.shape, rhs.shape, _conv_dn(ndim)
+                )
+                y = jax.lax.conv_general_dilated(
+                    lhs,
+                    rhs.astype(x.dtype),
+                    window_strides=(1,) * ndim,
+                    padding="VALID",
+                    dimension_numbers=dn,
+                )  # (1, C, B...)
+                y = jnp.moveaxis(y[0], 0, -1).reshape(lay.n_blocks, lay.c)
+                y = y + xi @ ker[0].T
+            elif lay.n_unique == 1:
+                win = _extract_windows(
+                    x, lay.pad, lay.window_shape, lay.block_shape
+                )
                 y = win @ olf[0].T + xi @ ker[0].T
             elif len(lay.varying_axes) == 1:
                 # one non-uniform axis (e.g. log-radial): per-shell
                 # matrices, a single batched matmul over the shell axis
+                win = _extract_windows(
+                    x, lay.pad, lay.window_shape, lay.block_shape
+                )
                 k = lay.varying_axes[0]
                 inv_k = jnp.asarray(lay.axis_inv[k])
                 olf_b = olf[inv_k]  # (B_k, C, W)
@@ -315,6 +345,9 @@ class ICRKernel:
                 y = jnp.moveaxis(y, 0, k).reshape(lay.n_blocks, lay.c)
             else:
                 # several non-uniform axes: gather per-block matrices
+                win = _extract_windows(
+                    x, lay.pad, lay.window_shape, lay.block_shape
+                )
                 radix = [lay.axis_n_unique[d] for d in lay.varying_axes]
                 inv_axes = np.meshgrid(
                     *[
