@@ -111,3 +111,25 @@ def test_native_matches_numpy_fallback():
     zf, pf = _pix2ang_ring_np(nside, pix)
     np.testing.assert_allclose(zn, zf, atol=1e-12)
     np.testing.assert_allclose(pn, pf, atol=1e-12)
+
+
+@pytest.mark.parametrize("nside", [1, 4, 32])
+def test_jax_healpix_matches_native(nside):
+    """Traced (pure-JAX) pixelization agrees with the native/numpy one."""
+    import jax
+
+    from nifty_tpu.ops import jhealpix
+
+    npix = 12 * nside**2
+    pix = np.arange(npix)
+    z_ref, phi_ref = native.pix2ang_ring(nside, pix)
+    z, phi = jax.jit(lambda p: jhealpix.pix2ang_ring(nside, p))(pix)
+    np.testing.assert_allclose(np.asarray(z), z_ref, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(phi), phi_ref, atol=1e-12)
+
+    rng = np.random.default_rng(0)
+    zq = rng.uniform(-1, 1, 500)
+    pq = rng.uniform(0, 2 * np.pi, 500)
+    ref = native.ang2pix_ring(nside, zq, pq)
+    got = jax.jit(lambda a, b: jhealpix.ang2pix_ring(nside, a, b))(zq, pq)
+    np.testing.assert_array_equal(np.asarray(got), ref)
