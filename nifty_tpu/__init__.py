@@ -53,10 +53,12 @@ from .likelihood_impl import (
     VariableCovarianceStudentT,
 )
 from .logger import logger
+from .probing import StatCalculator, probe_diagonal, probe_with_posterior_samples
 from .minisanity import ChiSqStats, minisanity, reduced_residual_stats
 from .model import Initializer, LazyModel, Model, VModel, WrappedCall
 from .models.correlated_field import (
     CorrelatedFieldMaker,
+    density_estimator,
     MaternAmplitude,
     NonParametricAmplitude,
     get_fourier_mode_distributor,

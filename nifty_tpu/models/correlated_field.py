@@ -32,6 +32,7 @@ from .gauss_markov import IntegratedWienerProcess
 
 __all__ = [
     "CorrelatedFieldMaker",
+    "density_estimator",
     "HEALPixGrid",
     "LMGrid",
     "MaternAmplitude",
@@ -605,3 +606,53 @@ class CorrelatedFieldMaker:
         cf.normalized_amplitudes = namps
         cf.target_grids = tuple(self._target_grids)
         return cf
+
+
+def density_estimator(
+    shape,
+    *,
+    distances=None,
+    pad: float = 1.0,
+    cf_fluctuations=None,
+    azm_uniform=(1e-4, 1.0),
+    prefix: str = "",
+):
+    """Exponentiated Matérn correlated field on a padded grid — the
+    standard non-parametric density-estimation prior (reference:
+    ``nifty/cl/sugar.py:230``).
+
+    Returns ``(model, padded_shape)``; evaluate the model and slice
+    ``[tuple(slice(0, s) for s in shape)]`` for the unpadded density.
+    """
+    from ..num.stats_distributions import uniform_prior
+
+    shape = (shape,) if isinstance(shape, int) else tuple(shape)
+    distances = (
+        tuple(1.0 / s for s in shape) if distances is None else distances
+    )
+    distances = tuple(np.broadcast_to(distances, (len(shape),)))
+    if cf_fluctuations is None:
+        cf_fluctuations = dict(
+            scale=(0.5, 0.3), cutoff=(4.0, 3.0), loglogslope=(-6.0, 3.0)
+        )
+    pshape = tuple(int(np.ceil((1.0 + pad) * s)) for s in shape)
+
+    cfm = CorrelatedFieldMaker(prefix)
+    cfm.add_fluctuations_matern(
+        pshape,
+        distances=distances,
+        renormalize_amplitude=False,
+        **cf_fluctuations,
+    )
+    # uniform zero-mode prior: the scale is inferred purely from the data
+    cfm.set_amplitude_total_offset(
+        offset_mean=0.0, offset_std=uniform_prior(*azm_uniform)
+    )
+    cf = cfm.finalize()
+
+    def density(x):
+        return jnp.exp(cf(x))
+
+    model = Model(density, domain=cf.domain, init=cf.init)
+    model.correlated_field = cf
+    return model, pshape

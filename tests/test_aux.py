@@ -258,3 +258,39 @@ def test_vmodel_multifrequency_cf():
     assert all(
         np.all(np.isfinite(np.asarray(l))) for l in jax.tree_util.tree_leaves(g)
     )
+
+
+def test_probing_module():
+    from nifty_tpu.probing import StatCalculator, probe_diagonal
+
+    a = random.normal(random.PRNGKey(15), (12, 12))
+    m = np.asarray(a @ a.T)
+    diag = probe_diagonal(lambda x: jnp.asarray(m) @ x, jnp.zeros(12))
+    np.testing.assert_allclose(np.asarray(diag), np.diag(m), rtol=1e-10)
+    # stochastic estimate in the right ballpark
+    sd = probe_diagonal(
+        lambda x: jnp.asarray(m) @ x,
+        jnp.zeros(12),
+        random.PRNGKey(16),
+        n_probes=300,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sd), np.diag(m), atol=3 * np.abs(m).max() / np.sqrt(300)
+    )
+    st = StatCalculator()
+    data = np.random.default_rng(1).normal(size=(50, 4))
+    for row in data:
+        st.add(jnp.asarray(row))
+    np.testing.assert_allclose(np.asarray(st.mean), data.mean(0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(st.var), data.var(0, ddof=1), rtol=1e-5)
+
+
+def test_density_estimator():
+    from nifty_tpu.models.correlated_field import density_estimator
+
+    model, pshape = density_estimator((24,), prefix="de")
+    assert pshape == (48,)
+    p = model.init(random.PRNGKey(17))
+    out = model(p)
+    assert out.shape == pshape
+    assert np.all(np.asarray(out) > 0)  # a density
