@@ -6,4 +6,9 @@ from .healpix_grid import (
     HEALPixRefinementGrid,
 )
 from .kernel import ICRKernel, apply_kernel
+from .sphere_radius import (
+    SphereLogRadiusGrid,
+    SphereRadiusICRField,
+    SphereRadiusICRKernel,
+)
 from .matern import MaternCovarianceModel, matern_spectral_covariance

@@ -286,3 +286,39 @@ def test_healpix_icr_field():
     cfar = np.corrcoef(smp[:, 0], smp[:, far])[0, 1]
     assert c01 > 0.5
     assert abs(cfar) < 0.45
+
+
+def test_sphere_radius_icr_field():
+    """3-D sphere × log-radius chart: shapes, statistics, and radial/
+    angular correlation structure."""
+    from nifty_tpu import native
+    from nifty_tpu.multi_grid.sphere_radius import (
+        SphereLogRadiusGrid,
+        SphereRadiusICRField,
+    )
+
+    if not native.native_available():
+        pytest.skip("native healpix unavailable")
+    grid = SphereLogRadiusGrid(
+        nside0=1, n_r0=10, r_min=1.0, r_max=4.0, depth=2, r_padding=1
+    )
+    assert grid.shapes[0] == (12, 10)
+    assert grid.shapes[1] == (48, 16)
+    assert grid.shapes[2] == (192, 28)
+
+    ell = 0.8
+    f = SphereRadiusICRField(grid, lambda r: jnp.exp(-0.5 * (r / ell) ** 2))
+    p = f.init(random.PRNGKey(30))
+    out = jax.jit(f)(p)
+    assert out.shape == grid.shapes[-1]
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    outs = jax.vmap(lambda k: f(f.init(k)))(random.split(random.PRNGKey(31), 48))
+    smp = np.asarray(outs)  # (48, npix, nr)
+    var = smp.var(axis=0)
+    assert 0.3 < var.mean() < 2.0
+    # radially adjacent cells correlate; distant radii decorrelate
+    c_near = np.corrcoef(smp[:, 5, 10], smp[:, 5, 11])[0, 1]
+    c_far = np.corrcoef(smp[:, 5, 0], smp[:, 5, 27])[0, 1]
+    assert c_near > 0.4
+    assert abs(c_far) < 0.5
