@@ -61,9 +61,11 @@ def build_likelihood(shape):
         flexibility=(1e0, 2e-1),
     )
     cf = cfm.finalize()
-
-    def fwd(x):
-        return jnp.exp(cf(x))
+    # ChainModel keeps cf's mode tables/distributor as dynamic pytree leaves
+    # → they reach the compiled metric as runtime parameters, not inlined
+    # constants (mandatory at ≥1e8 dof: the remote-compile payload would
+    # otherwise be ~1 GB of HLO literals)
+    fwd = nt.ChainModel(jnp.exp, cf)
 
     rng = np.random.default_rng(42)
     shapes = jax.eval_shape(cf.init, random.PRNGKey(0))
@@ -83,16 +85,53 @@ def _metric_plus_one(lh, p, t):
     return jax.tree_util.tree_map(jnp.add, m, t)
 
 
-def time_apply(lh, pos, tangent, n_iter=20):
-    out = _metric_plus_one(lh, pos, tangent)  # compile
-    jax.block_until_ready(out)
+_CHAIN_K = 16
+
+
+@jax.jit
+def _metric_chain(lh, p, t):
+    """K data-dependent metric applies in one program, reduced to a scalar.
+
+    Timing a single dispatch + `block_until_ready` is NOT reliable on every
+    backend (the tunneled TPU plugin acks before execution completes); a
+    chained loop whose scalar result is fetched to the host is.  The 0.5×
+    rescale keeps the tangent from growing across iterations.
+    """
+
+    def body(i, t):
+        m = lh.metric(p, t)
+        return jax.tree_util.tree_map(lambda a, b: (a + b) * 0.5, m, t)
+
+    t = jax.lax.fori_loop(0, _CHAIN_K, body, t)
+    return sum(
+        jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda a: jnp.sum(a * 0), t)
+        )
+    )
+
+
+def _roundtrip_floor_s(n=10):
+    """Median host↔device scalar-fetch latency (subtracted from timings)."""
+    f = jax.jit(lambda x: x + 1)
+    z = jnp.zeros(())
+    float(f(z))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(f(z))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def time_apply(lh, pos, tangent, n_iter=4):
+    floor = _roundtrip_floor_s()
+    float(_metric_chain(lh, pos, tangent))  # compile + warm
     times = []
     for _ in range(n_iter):
         t0 = time.perf_counter()
-        out = _metric_plus_one(lh, pos, tangent)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+        float(_metric_chain(lh, pos, tangent))
+        times.append((time.perf_counter() - t0 - floor) / _CHAIN_K)
+    return max(float(np.median(times)), 1e-9)
 
 
 def main():

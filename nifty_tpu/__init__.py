@@ -55,7 +55,7 @@ from .likelihood_impl import (
 from .logger import logger
 from .probing import StatCalculator, probe_diagonal, probe_with_posterior_samples
 from .minisanity import ChiSqStats, minisanity, reduced_residual_stats
-from .model import Initializer, LazyModel, Model, VModel, WrappedCall
+from .model import ChainModel, Initializer, LazyModel, Model, VModel, WrappedCall
 from .models.correlated_field import (
     CorrelatedFieldMaker,
     density_estimator,

@@ -29,7 +29,7 @@ import jax
 from jax import numpy as jnp
 from jax.tree_util import Partial, tree_leaves, tree_map, tree_structure
 
-from .model import Initializer, LazyModel, Model, NoValue
+from .model import ChainModel, Initializer, LazyModel, Model, NoValue
 from .utils.tree import (
     ShapeWithDtype,
     Vector,
@@ -318,10 +318,10 @@ class LikelihoodWithModel(Likelihood):
         def chained(x, **kw):
             return fwd(f(x, **kw))
 
+        # ChainModel keeps both sub-models dynamic pytree children so their
+        # arrays remain jit parameters (a closure would inline them)
         chained_model = (
-            Model(chained, domain=f.domain, init=f.init)
-            if isinstance(f, LazyModel)
-            else Partial(chained)
+            ChainModel(fwd, f) if isinstance(f, LazyModel) else Partial(chained)
         )
         likelihood_argnames = (
             self.likelihood_argnames

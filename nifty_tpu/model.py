@@ -37,6 +37,7 @@ from .utils.pytree_string import PyTreeString
 from .utils.tree import ShapeWithDtype, Vector, random_like
 
 __all__ = [
+    "ChainModel",
     "Initializer",
     "LazyModel",
     "Model",
@@ -259,6 +260,46 @@ class WrappedCall(Model):
             call = wrap(call, name=name)
             domain = {name: domain}
         super().__init__(call, domain=domain, target=target, white_init=white_init)
+
+
+class ChainModel(Model):
+    """Compose ``outer`` after an ``inner`` model, keeping both as *dynamic*
+    pytree children.
+
+    Use this instead of closing over a sub-model in a plain function: a
+    closure hides the sub-model's arrays in the static treedef, so when the
+    composed model is threaded through ``jit`` they are inlined into the
+    compiled program as constants.  For large models (e.g. a big correlated
+    field's power distributor) that bloats the HLO by hundreds of MB.  As
+    dynamic children they stay runtime parameters.
+
+    ``outer`` may be any callable (wrapped in ``jax.tree_util.Partial`` if
+    not already a pytree) or another model.
+    """
+
+    outer: Any = dataclasses.field(metadata=dict(static=False), default=None)
+    inner: Any = dataclasses.field(metadata=dict(static=False), default=None)
+
+    def __init__(self, outer, inner, *, domain=NoValue, init=NoValue, target=NoValue):
+        from jax.tree_util import Partial
+
+        self.outer = (
+            outer
+            if isinstance(outer, (LazyModel, Partial))
+            else Partial(outer)
+        )
+        self.inner = inner
+        if isinstance(inner, LazyModel):
+            domain = inner.domain if domain is NoValue else domain
+            if init is NoValue and inner._init is not NoValue:
+                init = inner.init
+        super().__init__(domain=domain, init=init, target=target)
+
+    def __call__(self, x, **kw):
+        return self.outer(self.inner(x, **kw))
+
+    def __repr__(self):
+        return f"ChainModel({self.outer!r}, {self.inner!r})"
 
 
 def _is_int_or_none(x):

@@ -18,7 +18,7 @@ from __future__ import annotations
 import dataclasses
 from collections import namedtuple
 from functools import partial, reduce
-from typing import Callable, Optional, Tuple, Union
+from typing import Any, Callable, Optional, Tuple, Union
 
 import numpy as np
 from jax import numpy as jnp
@@ -237,6 +237,16 @@ class NonParametricAmplitude(Model):
     deviations: Optional[Callable] = dataclasses.field(
         metadata=dict(static=False), default=None
     )
+    # O(#unique modes) tables ride as dynamic pytree leaves: threaded
+    # through jit as runtime parameters they never bloat the HLO (giant
+    # literals overflow the remote-compile payload) nor trigger per-compile
+    # device-constant fetches
+    mode_multiplicity: Any = dataclasses.field(
+        metadata=dict(static=False), default=None
+    )
+    relative_log_mode_lengths: Any = dataclasses.field(
+        metadata=dict(static=False), default=None
+    )
 
     def __init__(
         self,
@@ -282,6 +292,11 @@ class NonParametricAmplitude(Model):
         else:
             self.deviations = None
 
+        self.mode_multiplicity = jnp.asarray(grid.harmonic_grid.mode_multiplicity)
+        self.relative_log_mode_lengths = jnp.asarray(
+            grid.harmonic_grid.relative_log_mode_lengths
+        )
+
         models = [self.fluctuations, self.loglogavgslope, self.deviations]
         domain = reduce(
             lambda a, b: {**a, **b}, [m.domain for m in models if m is not None]
@@ -289,9 +304,8 @@ class NonParametricAmplitude(Model):
         super().__init__(domain=domain, white_init=True)
 
     def __call__(self, primals):
-        hg = self.grid.harmonic_grid
-        mode_multiplicity = jnp.asarray(hg.mode_multiplicity)
-        rel_log_modes = jnp.asarray(hg.relative_log_mode_lengths)
+        mode_multiplicity = self.mode_multiplicity
+        rel_log_modes = self.relative_log_mode_lengths
 
         flu = 1.0 if self.fluctuations is None else self.fluctuations(primals)
         ln_spectrum = self.loglogavgslope(primals) * rel_log_modes
@@ -324,6 +338,10 @@ class MaternAmplitude(Model):
     loglogslope: Callable = dataclasses.field(
         metadata=dict(static=False), default=None
     )
+    mode_lengths: Any = dataclasses.field(metadata=dict(static=False), default=None)
+    mode_multiplicity: Any = dataclasses.field(
+        metadata=dict(static=False), default=None
+    )
 
     def __init__(
         self,
@@ -349,6 +367,8 @@ class MaternAmplitude(Model):
             else None
         )
         self.renormalize_amplitude = renormalize_amplitude
+        self.mode_lengths = jnp.asarray(grid.harmonic_grid.mode_lengths)
+        self.mode_multiplicity = jnp.asarray(grid.harmonic_grid.mode_multiplicity)
         models = [self.scale, self.cutoff, self.loglogslope]
         domain = reduce(
             lambda a, b: {**a, **b}, [m.domain for m in models if m is not None]
@@ -356,18 +376,17 @@ class MaternAmplitude(Model):
         super().__init__(domain=domain, white_init=True)
 
     def __call__(self, primals):
-        hg = self.grid.harmonic_grid
         scl = 1.0 if self.scale is None else self.scale(primals)
         ctf = self.cutoff(primals)
         slp = self.loglogslope(primals)
-        k = jnp.asarray(hg.mode_lengths)
+        k = self.mode_lengths
         ln_spectrum = 0.25 * slp * jnp.log1p((k / ctf) ** 2)
         spectrum = jnp.exp(ln_spectrum)
 
         totvol = self.grid.total_volume
         norm = 1.0
         if self.renormalize_amplitude:
-            mm = jnp.asarray(hg.mode_multiplicity)
+            mm = self.mode_multiplicity
             if self.kind == "amplitude":
                 norm = jnp.sqrt(jnp.sum(mm[1:] * spectrum[1:] ** 2))
             else:
@@ -377,6 +396,61 @@ class MaternAmplitude(Model):
             spectrum = jnp.sqrt(spectrum)
         spectrum = scl * (jnp.sqrt(totvol) / norm) * spectrum
         return spectrum.at[0].set(totvol)
+
+
+# --- the finalized model -----------------------------------------------------
+
+
+class CorrelatedField(Model):
+    """The finalized correlated-field model: ξ colored by the outer-product
+    amplitude, mapped through the harmonic transform(s), plus the offset
+    (reference assembles a closure instead,
+    ``nifty/re/correlated_field.py:850-918``).
+
+    The power-distributor index tables (full harmonic-grid shape) and the
+    amplitude models' mode tables are *dynamic* pytree leaves: threaded
+    through ``jit`` as arguments they stay runtime parameters.  Closure-
+    captured they would be inlined into the HLO — at 10⁸ grid points that
+    is a multi-hundred-MB program no compiler endpoint accepts.
+    """
+
+    amplitudes: Any = dataclasses.field(metadata=dict(static=False), default=None)
+    distributors: Any = dataclasses.field(metadata=dict(static=False), default=None)
+
+    def __init__(
+        self,
+        *,
+        amplitudes,
+        distributors,
+        azm,
+        offset_mean,
+        xi_key,
+        harmonic_transforms,
+        domain,
+        init,
+    ):
+        self.amplitudes = tuple(amplitudes)
+        self.distributors = tuple(distributors)
+        self.azm = azm
+        self.offset_mean = offset_mean
+        self.xi_key = xi_key
+        self.harmonic_transforms = tuple(harmonic_transforms)
+        super().__init__(domain=domain, init=init)
+
+    def __call__(self, p):
+        azm = self.azm(p)
+        outer = None
+        for amp, dist in zip(self.amplitudes, self.distributors):
+            a = amp(p)
+            # divide the degenerate zero-mode out of each amplitude
+            a = a.at[1:].mul(1.0 / azm)
+            ea = a[dist]
+            # order matters — must match the excitation axes
+            outer = ea if outer is None else jnp.tensordot(outer, ea, axes=0)
+        out = azm * outer * p[self.xi_key]
+        for dvol, ht in self.harmonic_transforms:
+            out = dvol * ht(out)
+        return self.offset_mean + out
 
 
 # --- the maker ---------------------------------------------------------------
@@ -561,49 +635,30 @@ class CorrelatedFieldMaker:
         xi_key = self._prefix + "xi"
         self._parameter_tree[xi_key] = ShapeWithDtype(excitation_shape)
 
-        def outer_harmonic_transform(p):
-            dvol, ht = harmonic_transforms[0]
-            outer = dvol * ht(p)
-            for dvol, ht in harmonic_transforms[1:]:
-                outer = dvol * ht(outer)
-            return outer
-
-        def expand(amp, sgrid):
-            # keep the index table as *numpy*: converted per trace it
-            # embeds as an HLO literal (fast), whereas a closed-over
-            # device array forces a device fetch per compile
-            distributor = np.asarray(sgrid.harmonic_grid.power_distributor)
-
-            def expanded(p):
-                return amp(p)[distributor]
-
-            return expanded
-
-        namps = self.get_normalized_amplitudes()
-        expanded_amps = [
-            expand(a, g) for a, g in zip(namps, self._target_grids)
-        ]
-
-        def outer_amplitude(p):
-            outer = expanded_amps[0](p)
-            for amp in expanded_amps[1:]:
-                # order matters — must match the excitation axes
-                outer = jnp.tensordot(outer, amp(p), axes=0)
-            return outer
-
-        offset_mean = self._offset_mean
-        azm = self.azm
-
-        def correlated_field(p):
-            cf_h = azm(p) * outer_amplitude(p) * p[xi_key]
-            return offset_mean + outer_harmonic_transform(cf_h)
+        # int32 index tables: half the HBM of numpy's default int64, and
+        # amplitude arrays are far below 2³¹ entries
+        distributors = tuple(
+            jnp.asarray(
+                np.asarray(g.harmonic_grid.power_distributor, dtype=np.int32)
+            )
+            for g in self._target_grids
+        )
 
         init = {
             k: partial(random_like, primals=v)
             for k, v in self._parameter_tree.items()
         }
-        cf = Model(correlated_field, domain=dict(self._parameter_tree), init=init)
-        cf.normalized_amplitudes = namps
+        cf = CorrelatedField(
+            amplitudes=tuple(self._fluctuations),
+            distributors=distributors,
+            azm=self.azm,
+            offset_mean=self._offset_mean,
+            xi_key=xi_key,
+            harmonic_transforms=harmonic_transforms,
+            domain=dict(self._parameter_tree),
+            init=init,
+        )
+        cf.normalized_amplitudes = self.get_normalized_amplitudes()
         cf.target_grids = tuple(self._target_grids)
         return cf
 

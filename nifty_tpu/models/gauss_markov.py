@@ -8,8 +8,9 @@ independent implementation.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
-from typing import Callable, Union
+from typing import Any, Callable, Union
 
 import jax
 import numpy as np
@@ -120,7 +121,18 @@ def ornstein_uhlenbeck_process(xi, x0, sigma, gamma, dt):
 class GaussMarkovProcess(Model):
     """Model wrapper: a GMP generator driven by named excitations, with
     hyper-parameters that may themselves be models
-    (reference: ``nifty/re/gauss_markov.py:130``)."""
+    (reference: ``nifty/re/gauss_markov.py:130``).
+
+    ``dt``, ``x0`` and the hyper-models are dynamic pytree leaves: when a
+    model embedding this process (e.g. a correlated field's spectrum
+    deviations, whose ``dt`` has one entry per unique mode) is threaded
+    through ``jit`` as an argument, these arrays are runtime parameters
+    rather than inlined HLO constants.
+    """
+
+    x0: Any = dataclasses.field(metadata=dict(static=False), default=None)
+    dt: Any = dataclasses.field(metadata=dict(static=False), default=None)
+    kwargs: Any = dataclasses.field(metadata=dict(static=False), default=None)
 
     def __init__(
         self,
@@ -152,7 +164,7 @@ class GaussMarkovProcess(Model):
         self.kwargs = kwargs
         self.name = name
         self.process = process
-        self.dt = dt
+        self.dt = jnp.asarray(dt)
         super().__init__(domain=domain, init=init)
 
     def __call__(self, x):
