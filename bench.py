@@ -27,12 +27,17 @@ from jax import random
 TIME_BUDGET_S = 420.0
 _T0 = time.time()
 
-# (shape, baseline_ms) — baselines interpolated from the A100 series in
-# BASELINE.md at comparable dof counts
+# (shape, baseline_ms, n_mode_knots) — baselines interpolated from the A100
+# series in BASELINE.md at comparable dof counts.  n_mode_knots=None is the
+# reference's exact unique-|k| spectrum (bit-parity model); an integer K is
+# the TPU-recommended pixel-expansion configuration (spectrum deviations on
+# K log-spaced knots, gather-free) — the documented default for ≥2048²
+# grids, where XLA's ~10-cycles-per-element gathers dominate the metric.
 SIZES = [
-    ((1280, 1280), 1.5),
-    ((4096, 4096), 12.0),
-    ((10240, 10240), 65.0),
+    ((1280, 1280), 1.5, None),
+    ((4096, 4096), 12.0, None),
+    ((4096, 4096), 12.0, 64),
+    ((10240, 10240), 65.0, 64),
 ]
 
 
@@ -45,7 +50,7 @@ def _np_tree_like(shapes, rng):
     )
 
 
-def build_likelihood(shape):
+def build_likelihood(shape, n_mode_knots=None):
     """All setup runs on the host / CPU backend: the TPU sees exactly one
     compiled program (the metric apply) per size — important because the
     tunneled compile path slows down drastically after a few programs."""
@@ -59,6 +64,7 @@ def build_likelihood(shape):
         fluctuations=(1.0, 5e-1),
         loglogavgslope=(-3.0, 2e-1),
         flexibility=(1e0, 2e-1),
+        n_mode_knots=n_mode_knots,
     )
     cf = cfm.finalize()
     # ChainModel keeps cf's mode tables/distributor as dynamic pytree leaves
@@ -136,18 +142,19 @@ def time_apply(lh, pos, tangent, n_iter=4):
 
 def main():
     result = None
-    for shape, baseline_ms in SIZES:
-        if result is not None and time.time() - _T0 > TIME_BUDGET_S * 0.5:
+    for shape, baseline_ms, knots in SIZES:
+        if result is not None and time.time() - _T0 > TIME_BUDGET_S * 0.6:
             break
         try:
-            lh, pos, tangent = build_likelihood(shape)
+            lh, pos, tangent = build_likelihood(shape, n_mode_knots=knots)
             t = time_apply(lh, pos, tangent)
         except Exception as e:  # noqa: BLE001
             print(f"bench: {shape} failed ({e!r})", file=sys.stderr)
             break
+        variant = "" if knots is None else f"_knots{knots}"
         result = (shape, baseline_ms, t * 1e3)
         print(
-            f"bench: {shape[0]}x{shape[1]}: {t * 1e3:.3f} ms "
+            f"bench: {shape[0]}x{shape[1]}{variant}: {t * 1e3:.3f} ms "
             f"(elapsed {time.time() - _T0:.0f}s)",
             file=sys.stderr,
         )
@@ -156,7 +163,10 @@ def main():
         print(
             json.dumps(
                 {
-                    "metric": f"cf2d_poisson_metric_apply_{shape[0]}x{shape[1]}",
+                    "metric": (
+                        "cf2d_poisson_metric_apply_"
+                        f"{shape[0]}x{shape[1]}{variant}"
+                    ),
                     "value": round(t * 1e3, 3),
                     "unit": "ms",
                     "vs_baseline": round(baseline_ms / (t * 1e3), 3),

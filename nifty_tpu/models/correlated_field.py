@@ -163,13 +163,72 @@ def _log_modes(m_length):
     return um, log_vol
 
 
-def make_grid(shape, distances, harmonic_type):
-    """Build the (position, harmonic) grid pair for an amplitude model."""
+def _rel_log_k_grid(shape, distances):
+    """Per-pixel relative log mode length, computed on the fly from iota.
+
+    Returns ``(x, nonzero)`` where ``x[p] = log(|k_p| / k_min)`` for the
+    non-zero modes (0 at the zero mode) and ``nonzero`` masks ``|k| > 0``.
+    The convention matches the tabulated ``relative_log_mode_lengths`` of
+    the exact mode distributor (the smallest non-zero mode is an axis
+    fundamental, so the pixel values agree bit-for-bit in structure with
+    ``_log_modes``).  Zero HBM tables, zero gathers — the TPU-native
+    expansion path.
+    """
+    k2, nonzero = _k2_grid(shape, distances)
+    kmin = min(1.0 / (n * dx) for n, dx in zip(shape, distances))
+    x = jnp.where(nonzero, 0.5 * jnp.log(jnp.where(nonzero, k2, 1.0)), 0.0)
+    x = jnp.where(nonzero, x - np.log(kmin), 0.0)
+    return x, nonzero
+
+
+def _k2_grid(shape, distances):
+    """|k|² per harmonic-grid pixel (from iota — no tables) and a mask of
+    the non-zero modes."""
+    k2 = None
+    for axis, (n, dx) in enumerate(zip(shape, distances)):
+        idx = jnp.arange(n)
+        fold = jnp.minimum(idx, n - idx)
+        f = fold * (1.0 / (n * dx))
+        f2 = (f * f).reshape((-1,) + (1,) * (len(shape) - axis - 1))
+        k2 = f2 if k2 is None else k2 + f2
+    return k2, k2 > 0
+
+
+def _max_rel_log_k(shape, distances):
+    """Largest relative log mode length on a regular grid (static float)."""
+    kmin = min(1.0 / (n * dx) for n, dx in zip(shape, distances))
+    kmax2 = sum(((n // 2) / (n * dx)) ** 2 for n, dx in zip(shape, distances))
+    return 0.5 * float(np.log(kmax2)) - float(np.log(kmin))
+
+
+def make_grid(shape, distances, harmonic_type, mode_tables: bool = True):
+    """Build the (position, harmonic) grid pair for an amplitude model.
+
+    With ``mode_tables=False`` (pixel-expansion amplitudes) the O(#modes)
+    unique-|k| tables are not computed — at 10⁸ grid points they cost tens
+    of seconds of host time and hundreds of MB that the pixel path never
+    touches.
+    """
     shape = (shape,) if isinstance(shape, int) else tuple(shape)
     ht = harmonic_type.lower()
     if ht == "fourier":
         distances = tuple(np.broadcast_to(distances, (len(shape),)))
         totvol = float(np.prod(np.array(shape) * np.array(distances)))
+        if not mode_tables:
+            harmonic_grid = RegularFourierGrid(
+                shape=shape,
+                power_distributor=None,
+                mode_multiplicity=None,
+                mode_lengths=None,
+                relative_log_mode_lengths=None,
+                log_volume=None,
+            )
+            return RegularCartesianGrid(
+                shape=shape,
+                total_volume=totvol,
+                distances=distances,
+                harmonic_grid=harmonic_grid,
+            )
         m_length_idx, m_length, m_count = get_fourier_mode_distributor(
             shape, distances
         )
@@ -247,6 +306,7 @@ class NonParametricAmplitude(Model):
     relative_log_mode_lengths: Any = dataclasses.field(
         metadata=dict(static=False), default=None
     )
+    knots: Any = dataclasses.field(metadata=dict(static=False), default=None)
 
     def __init__(
         self,
@@ -257,12 +317,37 @@ class NonParametricAmplitude(Model):
         asperity: Optional[Callable] = None,
         prefix: str = "",
         kind: str = "amplitude",
+        n_mode_knots: Optional[int] = None,
     ):
+        """With ``n_mode_knots=K`` the spectrum deviations live on K
+        log-equidistant spectral knots and the amplitude is evaluated
+        *per pixel* in closed form (fused relu-feature interpolation) —
+        no unique-|k| tables, no per-pixel gather/scatter.  This is the
+        TPU-native expansion for large grids: XLA gathers cost ~10 cycles
+        per element, which dominates everything else at ≥10⁷ pixels.
+        ``None`` (default) keeps the reference's exact unique-mode tables
+        (reference: ``nifty/re/correlated_field.py:398``).
+        """
         self.grid = grid
         self.kind = kind.lower()
         if self.kind not in ("amplitude", "power"):
             raise ValueError(f"invalid kind {kind!r}")
-        log_vol = grid.harmonic_grid.log_volume
+        self.pixel_mode = n_mode_knots is not None
+        if self.pixel_mode:
+            if not isinstance(grid, RegularCartesianGrid):
+                raise TypeError(
+                    "n_mode_knots requires a regular Cartesian grid"
+                )
+            if n_mode_knots < 2:
+                raise ValueError("need at least two spectral knots")
+            knots_np = np.linspace(
+                0.0, _max_rel_log_k(grid.shape, grid.distances), n_mode_knots
+            )
+            self.knots = jnp.asarray(knots_np)
+            log_vol = np.diff(knots_np)
+        else:
+            self.knots = None
+            log_vol = grid.harmonic_grid.log_volume
 
         self.loglogavgslope = WrappedCall(
             loglogavgslope, name=prefix + "loglogavgslope", white_init=True
@@ -292,10 +377,16 @@ class NonParametricAmplitude(Model):
         else:
             self.deviations = None
 
-        self.mode_multiplicity = jnp.asarray(grid.harmonic_grid.mode_multiplicity)
-        self.relative_log_mode_lengths = jnp.asarray(
-            grid.harmonic_grid.relative_log_mode_lengths
-        )
+        if self.pixel_mode:
+            self.mode_multiplicity = None
+            self.relative_log_mode_lengths = None
+        else:
+            self.mode_multiplicity = jnp.asarray(
+                grid.harmonic_grid.mode_multiplicity
+            )
+            self.relative_log_mode_lengths = jnp.asarray(
+                grid.harmonic_grid.relative_log_mode_lengths
+            )
 
         models = [self.fluctuations, self.loglogavgslope, self.deviations]
         domain = reduce(
@@ -303,11 +394,64 @@ class NonParametricAmplitude(Model):
         )
         super().__init__(domain=domain, white_init=True)
 
+    def _dev_knot_values(self, primals):
+        """Deviation curve at the spectral knots, slope component removed."""
+        d = self.deviations(primals)[:, 0]
+        return d - d[-1] * (self.knots / self.knots[-1])
+
+    def _ln_deviations_at(self, x, primals):
+        """Piecewise-linear deviation curve evaluated at arbitrary relative
+        log mode lengths `x` — a fused relu-feature sum (no gather)."""
+        d = self._dev_knot_values(primals)
+        seg = jnp.diff(d) / jnp.diff(self.knots)
+        coef = jnp.concatenate((seg[:1], jnp.diff(seg)))
+        return jnp.sum(
+            coef * jnp.maximum(x[..., None] - self.knots[:-1], 0.0), axis=-1
+        )
+
+    def expanded_normalized(self, primals, azm):
+        """Normalized amplitude on the full harmonic grid, evaluated per
+        pixel — the TPU-native (gather-free) equivalent of
+        ``(amp(p).at[1:].mul(1/azm))[power_distributor]``."""
+        x, nonzero = _rel_log_k_grid(self.grid.shape, self.grid.distances)
+        flu = 1.0 if self.fluctuations is None else self.fluctuations(primals)
+        ln_spectrum = self.loglogavgslope(primals) * x
+        if self.deviations is not None:
+            ln_spectrum = ln_spectrum + self._ln_deviations_at(x, primals)
+        spectrum = jnp.where(nonzero, jnp.exp(ln_spectrum), 0.0)
+        totvol = self.grid.total_volume
+        if self.kind == "amplitude":
+            norm = jnp.sqrt(jnp.sum(spectrum**2))
+            amplitude = flu * (totvol / norm) * spectrum
+        else:
+            norm = jnp.sqrt(jnp.sum(spectrum))
+            amplitude = flu * (totvol / norm) * jnp.sqrt(spectrum)
+        return jnp.where(nonzero, amplitude / azm, totvol)
+
     def __call__(self, primals):
+        flu = 1.0 if self.fluctuations is None else self.fluctuations(primals)
+        totvol = self.grid.total_volume
+
+        if self.pixel_mode:
+            # diagnostics: the normalized amplitude evaluated at the knots
+            # (normalization still integrates over the full grid)
+            x, nonzero = _rel_log_k_grid(self.grid.shape, self.grid.distances)
+            ln_grid = self.loglogavgslope(primals) * x
+            ln_knots = self.loglogavgslope(primals) * self.knots
+            if self.deviations is not None:
+                ln_grid = ln_grid + self._ln_deviations_at(x, primals)
+                ln_knots = ln_knots + self._dev_knot_values(primals)
+            spec_grid = jnp.where(nonzero, jnp.exp(ln_grid), 0.0)
+            spectrum = jnp.exp(ln_knots)
+            if self.kind == "amplitude":
+                norm = jnp.sqrt(jnp.sum(spec_grid**2))
+                return flu * (totvol / norm) * spectrum
+            norm = jnp.sqrt(jnp.sum(spec_grid))
+            return flu * (totvol / norm) * jnp.sqrt(spectrum)
+
         mode_multiplicity = self.mode_multiplicity
         rel_log_modes = self.relative_log_mode_lengths
 
-        flu = 1.0 if self.fluctuations is None else self.fluctuations(primals)
         ln_spectrum = self.loglogavgslope(primals) * rel_log_modes
         if self.deviations is not None:
             twolog = self.deviations(primals)
@@ -317,7 +461,6 @@ class NonParametricAmplitude(Model):
         spectrum = jnp.exp(ln_spectrum)
 
         # normalize out the non-zero-mode power, then scale by fluctuations
-        totvol = self.grid.total_volume
         if self.kind == "amplitude":
             norm = jnp.sqrt(jnp.sum(mode_multiplicity[1:] * spectrum[1:] ** 2))
             amplitude = flu * (totvol / norm) * spectrum
@@ -352,11 +495,18 @@ class MaternAmplitude(Model):
         renormalize_amplitude: bool,
         prefix: str = "",
         kind: str = "amplitude",
+        pixel_expansion: bool = False,
     ):
+        """``pixel_expansion=True`` evaluates the (closed-form) Matérn
+        spectrum directly per harmonic-grid pixel — no unique-|k| tables,
+        no gather (the TPU-native path for large regular grids)."""
         self.grid = grid
         self.kind = kind.lower()
         if self.kind not in ("amplitude", "power"):
             raise ValueError(f"invalid kind {kind!r}")
+        self.pixel_mode = bool(pixel_expansion)
+        if self.pixel_mode and not isinstance(grid, RegularCartesianGrid):
+            raise TypeError("pixel_expansion requires a regular Cartesian grid")
         self.cutoff = WrappedCall(cutoff, name=prefix + "cutoff", white_init=True)
         self.loglogslope = WrappedCall(
             loglogslope, name=prefix + "loglogslope", white_init=True
@@ -367,34 +517,83 @@ class MaternAmplitude(Model):
             else None
         )
         self.renormalize_amplitude = renormalize_amplitude
-        self.mode_lengths = jnp.asarray(grid.harmonic_grid.mode_lengths)
-        self.mode_multiplicity = jnp.asarray(grid.harmonic_grid.mode_multiplicity)
+        if self.pixel_mode:
+            self.mode_lengths = None
+            self.mode_multiplicity = None
+        else:
+            self.mode_lengths = jnp.asarray(grid.harmonic_grid.mode_lengths)
+            self.mode_multiplicity = jnp.asarray(
+                grid.harmonic_grid.mode_multiplicity
+            )
         models = [self.scale, self.cutoff, self.loglogslope]
         domain = reduce(
             lambda a, b: {**a, **b}, [m.domain for m in models if m is not None]
         )
         super().__init__(domain=domain, white_init=True)
 
+    def expanded_normalized(self, primals, azm):
+        """Normalized Matérn amplitude on the full harmonic grid, in closed
+        form per pixel (gather-free TPU path)."""
+        k2, nonzero = _k2_grid(self.grid.shape, self.grid.distances)
+        scl = 1.0 if self.scale is None else self.scale(primals)
+        ctf = self.cutoff(primals)
+        slp = self.loglogslope(primals)
+        ln_spectrum = 0.25 * slp * jnp.log1p(k2 / ctf**2)
+        spectrum = jnp.where(nonzero, jnp.exp(ln_spectrum), 0.0)
+        totvol = self.grid.total_volume
+        norm = 1.0
+        if self.renormalize_amplitude:
+            if self.kind == "amplitude":
+                norm = jnp.sqrt(jnp.sum(spectrum**2))
+            else:
+                norm = jnp.sqrt(jnp.sum(spectrum))
+            norm = norm / jnp.sqrt(totvol)
+        if self.kind == "power":
+            spectrum = jnp.sqrt(spectrum)
+        spectrum = scl * (jnp.sqrt(totvol) / norm) * spectrum
+        return jnp.where(nonzero, spectrum / azm, totvol)
+
     def __call__(self, primals):
         scl = 1.0 if self.scale is None else self.scale(primals)
         ctf = self.cutoff(primals)
         slp = self.loglogslope(primals)
-        k = self.mode_lengths
+        if self.pixel_mode:
+            # diagnostics only: spectrum at a log-spaced set of |k| values
+            kmin = min(
+                1.0 / (n * dx)
+                for n, dx in zip(self.grid.shape, self.grid.distances)
+            )
+            xmax = _max_rel_log_k(self.grid.shape, self.grid.distances)
+            k = kmin * jnp.exp(jnp.linspace(0.0, xmax, 64))
+        else:
+            k = self.mode_lengths
         ln_spectrum = 0.25 * slp * jnp.log1p((k / ctf) ** 2)
         spectrum = jnp.exp(ln_spectrum)
 
         totvol = self.grid.total_volume
         norm = 1.0
         if self.renormalize_amplitude:
-            mm = self.mode_multiplicity
-            if self.kind == "amplitude":
-                norm = jnp.sqrt(jnp.sum(mm[1:] * spectrum[1:] ** 2))
+            if self.pixel_mode:
+                k2, nonzero = _k2_grid(self.grid.shape, self.grid.distances)
+                spec_grid = jnp.where(
+                    nonzero, jnp.exp(0.25 * slp * jnp.log1p(k2 / ctf**2)), 0.0
+                )
+                if self.kind == "amplitude":
+                    norm = jnp.sqrt(jnp.sum(spec_grid**2))
+                else:
+                    norm = jnp.sqrt(jnp.sum(spec_grid))
             else:
-                norm = jnp.sqrt(jnp.sum(mm[1:] * spectrum[1:]))
+                mm = self.mode_multiplicity
+                if self.kind == "amplitude":
+                    norm = jnp.sqrt(jnp.sum(mm[1:] * spectrum[1:] ** 2))
+                else:
+                    norm = jnp.sqrt(jnp.sum(mm[1:] * spectrum[1:]))
             norm = norm / jnp.sqrt(totvol)
         if self.kind == "power":
             spectrum = jnp.sqrt(spectrum)
         spectrum = scl * (jnp.sqrt(totvol) / norm) * spectrum
+        if self.pixel_mode:
+            return spectrum
         return spectrum.at[0].set(totvol)
 
 
@@ -441,10 +640,15 @@ class CorrelatedField(Model):
         azm = self.azm(p)
         outer = None
         for amp, dist in zip(self.amplitudes, self.distributors):
-            a = amp(p)
-            # divide the degenerate zero-mode out of each amplitude
-            a = a.at[1:].mul(1.0 / azm)
-            ea = a[dist]
+            if dist is None:
+                # pixel-expansion amplitude: evaluated per harmonic-grid
+                # pixel in closed form — no table, no gather
+                ea = amp.expanded_normalized(p, azm)
+            else:
+                a = amp(p)
+                # divide the degenerate zero-mode out of each amplitude
+                a = a.at[1:].mul(1.0 / azm)
+                ea = a[dist]
             # order matters — must match the excitation axes
             outer = ea if outer is None else jnp.tensordot(outer, ea, axes=0)
         out = azm * outer * p[self.xi_key]
@@ -492,9 +696,18 @@ class CorrelatedFieldMaker:
         prefix: str = "",
         harmonic_type: str = "fourier",
         non_parametric_kind: str = "amplitude",
+        n_mode_knots: Optional[int] = None,
     ):
-        """Add a non-parametric correlation structure on a subgrid."""
-        grid = make_grid(shape, distances, harmonic_type)
+        """Add a non-parametric correlation structure on a subgrid.
+
+        ``n_mode_knots=K`` puts the spectrum deviations on K log-spaced
+        spectral knots and evaluates the amplitude per pixel (gather-free;
+        the TPU-recommended setting for grids ≳ 2048², where per-element
+        gathers dominate the metric application).  ``None`` keeps the
+        reference's exact unique-|k| mode tables."""
+        grid = make_grid(
+            shape, distances, harmonic_type, mode_tables=n_mode_knots is None
+        )
         flu = _parse_prior(fluctuations, lognormal_prior, "fluctuations")
         slp = _parse_prior(loglogavgslope, normal_prior, "loglogavgslope")
         flx = (
@@ -515,6 +728,7 @@ class CorrelatedFieldMaker:
             asperity=asp,
             prefix=self._prefix + prefix,
             kind=non_parametric_kind,
+            n_mode_knots=n_mode_knots,
         )
         self._fluctuations.append(npa)
         self._target_grids.append(grid)
@@ -531,9 +745,15 @@ class CorrelatedFieldMaker:
         prefix: str = "",
         harmonic_type: str = "fourier",
         non_parametric_kind: str = "amplitude",
+        pixel_expansion: bool = False,
     ):
-        """Add a Matérn-kernel correlation structure on a subgrid."""
-        grid = make_grid(shape, distances, harmonic_type)
+        """Add a Matérn-kernel correlation structure on a subgrid.
+
+        ``pixel_expansion=True`` evaluates the closed-form spectrum per
+        harmonic pixel (gather-free TPU path for large regular grids)."""
+        grid = make_grid(
+            shape, distances, harmonic_type, mode_tables=not pixel_expansion
+        )
         scale = _parse_prior(scale, lognormal_prior, "scale")
         cutoff = _parse_prior(cutoff, lognormal_prior, "cutoff")
         loglogslope = _parse_prior(loglogslope, normal_prior, "loglogslope")
@@ -545,6 +765,7 @@ class CorrelatedFieldMaker:
             renormalize_amplitude=renormalize_amplitude,
             prefix=self._prefix + prefix,
             kind=non_parametric_kind,
+            pixel_expansion=pixel_expansion,
         )
         self._fluctuations.append(ma)
         self._target_grids.append(grid)
@@ -636,12 +857,15 @@ class CorrelatedFieldMaker:
         self._parameter_tree[xi_key] = ShapeWithDtype(excitation_shape)
 
         # int32 index tables: half the HBM of numpy's default int64, and
-        # amplitude arrays are far below 2³¹ entries
+        # amplitude arrays are far below 2³¹ entries.  Pixel-expansion
+        # amplitudes need no table at all.
         distributors = tuple(
-            jnp.asarray(
+            None
+            if getattr(a, "pixel_mode", False)
+            else jnp.asarray(
                 np.asarray(g.harmonic_grid.power_distributor, dtype=np.int32)
             )
-            for g in self._target_grids
+            for a, g in zip(self._fluctuations, self._target_grids)
         )
 
         init = {

@@ -156,3 +156,100 @@ def test_integrated_wiener_process_shape():
         np.cumsum(np.asarray(xi[:, 1])) * 1.0 * np.sqrt(0.5),
         rtol=1e-10,
     )
+
+
+# --- pixel-expansion (gather-free) amplitudes --------------------------------
+
+
+def _build_cf(shape, n_mode_knots=None, flexibility=None):
+    cfm = nt.CorrelatedFieldMaker("cf")
+    cfm.set_amplitude_total_offset(1.0, (1e-1, 3e-2))
+    cfm.add_fluctuations(
+        shape,
+        1.0 / shape[0],
+        (1.0, 0.5),
+        (-3.0, 0.2),
+        flexibility=flexibility,
+        n_mode_knots=n_mode_knots,
+    )
+    return cfm.finalize()
+
+
+@pytest.mark.parametrize("shape", [(16,), (24, 24), (8, 8, 8)])
+def test_pixel_mode_matches_exact_for_power_law(shape):
+    """Without spectrum deviations the pixel path is the same function as
+    the unique-mode table path — they must agree to machine precision."""
+    cf_e = _build_cf(shape)
+    cf_p = _build_cf(shape, n_mode_knots=16)
+    p = cf_e.init(random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(cf_e)(p)),
+        np.asarray(jax.jit(cf_p)(p)),
+        rtol=1e-12,
+        atol=1e-12,
+    )
+
+
+def test_knot_mode_runs_with_deviations():
+    cf = _build_cf((24, 24), n_mode_knots=12, flexibility=(1.0, 0.3))
+    assert cf.domain["cfspectrum"].shape == (11, 2)
+    p = cf.init(random.PRNGKey(1))
+    out = jax.jit(cf)(p)
+    assert np.all(np.isfinite(np.asarray(out)))
+    g = jax.grad(lambda q: jnp.sum(cf(q) ** 2))(p)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_knot_mode_field_std_calibrated():
+    """`fluctuations` must set the prior field std also on the knot path."""
+    cf = _build_cf((32, 32), n_mode_knots=16, flexibility=(1.0, 0.2))
+    keys = random.split(random.PRNGKey(2), 64)
+    draw = jax.jit(jax.vmap(lambda k: cf(cf.init(k))))
+    smpls = np.asarray(draw(keys))
+    # offset-subtracted std over samples and pixels ~ fluctuations mean
+    std = np.std(smpls - 1.0)
+    assert 0.4 < std < 2.5
+
+
+def test_knot_mode_metric_and_sampling():
+    cf = _build_cf((24, 24), n_mode_knots=12, flexibility=(1.0, 0.3))
+    lh = nt.Gaussian(
+        jnp.zeros((24, 24)), noise_cov_inv=lambda x: x * 4.0
+    ).amend(cf)
+    pos = nt.Vector(lh.init(random.PRNGKey(3)))
+    t = nt.Vector(lh.init(random.PRNGKey(4)))
+    m = jax.jit(lambda l, p, x: l.metric(p, x))(lh, pos, t)
+    for leaf in jax.tree_util.tree_leaves(m):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    smpl, info = jax.jit(
+        lambda l, p, k: nt.draw_linear_residual(l, p, k, cg_kwargs=dict(maxiter=10))
+    )(lh, pos, random.PRNGKey(5))
+    for leaf in jax.tree_util.tree_leaves(smpl):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_matern_pixel_expansion_matches_table():
+    def build(pixel):
+        cfm = nt.CorrelatedFieldMaker("m")
+        cfm.set_amplitude_total_offset(0.0, (1e-1, 3e-2))
+        cfm.add_fluctuations_matern(
+            (24, 24),
+            1.0 / 24,
+            scale=(1.0, 0.3),
+            cutoff=(1.0, 0.5),
+            loglogslope=(-3.0, 0.3),
+            renormalize_amplitude=True,
+            pixel_expansion=pixel,
+        )
+        return cfm.finalize()
+
+    cf_t = build(False)
+    cf_p = build(True)
+    p = cf_t.init(random.PRNGKey(6))
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(cf_t)(p)),
+        np.asarray(jax.jit(cf_p)(p)),
+        rtol=1e-10,
+        atol=1e-10,
+    )
