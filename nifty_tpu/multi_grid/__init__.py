@@ -1,5 +1,5 @@
 from .correlated_field import ICRField
-from .grid import Grid, LogGrid, MGrid, SimpleOpenGrid
+from .grid import BrokenLogGrid, Grid, LogGrid, MGrid, SimpleOpenGrid
 from .healpix_grid import (
     HEALPixICRField,
     HEALPixICRKernel,

@@ -20,7 +20,14 @@ from typing import Sequence, Tuple, Union
 
 import numpy as np
 
-__all__ = ["Grid", "GridLevel", "SimpleOpenGrid", "LogGrid", "MGrid"]
+__all__ = [
+    "Grid",
+    "GridLevel",
+    "SimpleOpenGrid",
+    "LogGrid",
+    "BrokenLogGrid",
+    "MGrid",
+]
 
 
 def _tuplify(x, ndim):
@@ -194,6 +201,103 @@ class LogGrid(Grid):
         l0, dl = self._geom[level]
         fn = lambda i, l0=l0, dl=dl: np.exp(  # noqa: E731
             l0 + np.asarray(i, dtype=float) * dl
+        )
+        return GridLevel(self.shapes[level], (fn,))
+
+
+class BrokenLogGrid(Grid):
+    """1-D radial chart that is linearly spaced between ``r_min`` and
+    ``r_linthresh`` and logarithmically spaced between ``r_linthresh``
+    and ``r_max`` (a "symlog" radial grid: fine linear resolution near
+    the origin, log resolution far out).
+
+    The underlying refinable grid is uniform in an auxiliary coordinate
+    ``g ∈ [0, 1]``; ``g`` is mapped to radius by a piecewise C¹ map
+    (antilinear ``1/r`` below ``r_min`` and linear above ``r_max`` so
+    that padded stencil pixels outside the nominal range stay monotone
+    and finite).  Continuity and matching slopes at the two interior
+    break points fix all map parameters in closed form.
+
+    Reference behavior: ``nifty/re/multi_grid/grid_impl.py:492``
+    (``BrokenLogGridAtLevel``); independent implementation.
+    """
+
+    def __init__(
+        self,
+        *,
+        shape0,
+        depth: int,
+        r_min: float,
+        r_linthresh: float,
+        r_max: float,
+        splits=2,
+        padding=1,
+    ):
+        shape0 = (int(shape0),) if np.isscalar(shape0) else tuple(shape0)
+        if len(shape0) != 1:
+            raise ValueError("BrokenLogGrid is one-dimensional")
+        super().__init__(shape0, splits, padding, depth)
+        r_min, r_linthresh, r_max = map(float, (r_min, r_linthresh, r_max))
+        if not (0.0 < r_min < r_linthresh < r_max):
+            raise ValueError(
+                f"need 0 < r_min < r_linthresh < r_max, got "
+                f"({r_min}, {r_linthresh}, {r_max})"
+            )
+        self.r_min, self.r_linthresh, self.r_max = r_min, r_linthresh, r_max
+
+        # break point g_l in [0, 1] and slopes from C¹ matching:
+        #   linear:  r = r_min + a·g            on [0, g_l]
+        #   log:     r = r_linthresh·e^{b(g−g_l)} on [g_l, 1]
+        # continuity  a·g_l = r_linthresh − r_min, b(1−g_l) = log(r_max/r_lt)
+        # smoothness  a = r_linthresh·b   ⇒  g_l = m/(1+m) with
+        #   m = (1 − r_min/r_linthresh)/log(r_max/r_linthresh)
+        big_l = np.log(r_max / r_linthresh)
+        m = (1.0 - r_min / r_linthresh) / big_l
+        self._g_l = m / (1.0 + m)
+        self._b = big_l / (1.0 - self._g_l)
+        self._a = r_linthresh * self._b
+        # antilinear branch r = c/(g − d) below g=0: r(0)=r_min, r'(0)=a
+        self._d = r_min / self._a
+        self._c = -(r_min**2) / self._a
+        # linear continuation above g=1 with the log branch's end slope
+        self._e = self._b * r_max
+
+        n0 = self.shape0[0]
+        dg = 1.0 / n0
+        self._geom = [(0.5 * dg, dg)]
+        for _ in range(self.depth):
+            g0, dgc = self._geom[-1]
+            dgf = dgc / self.splits[0]
+            self._geom.append(
+                (g0 + self.padding[0] * dgc - dgc / 2.0 + dgf / 2.0, dgf)
+            )
+
+    def _g2r(self, g):
+        g = np.asarray(g, dtype=float)
+        lin = self.r_min + self._a * g
+        log = self.r_linthresh * np.exp(self._b * (g - self._g_l))
+        anti = self._c / np.where(g < 0.0, g - self._d, -self._d)
+        lin_hi = self.r_max + self._e * (g - 1.0)
+        r = np.where(g < self._g_l, lin, np.where(g < 1.0, log, lin_hi))
+        return np.where(g < 0.0, anti, r)
+
+    def _r2g(self, r):
+        r = np.asarray(r, dtype=float)
+        lin = (r - self.r_min) / self._a
+        log = self._g_l + np.log(
+            np.where(r > 0, r, 1.0) / self.r_linthresh
+        ) / self._b
+        anti = self._d + self._c / np.where(r < self.r_min, r, self.r_min)
+        lin_hi = 1.0 + (r - self.r_max) / self._e
+        g = np.where(
+            r < self.r_linthresh, lin, np.where(r < self.r_max, log, lin_hi)
+        )
+        return np.where(r < self.r_min, anti, g)
+
+    def at(self, level: int) -> GridLevel:
+        g0, dg = self._geom[level]
+        fn = lambda i, g0=g0, dg=dg: self._g2r(  # noqa: E731
+            g0 + np.asarray(i, dtype=float) * dg
         )
         return GridLevel(self.shapes[level], (fn,))
 

@@ -23,7 +23,7 @@ import numpy as np
 from jax import numpy as jnp
 
 from .. import native
-from .grid import LogGrid
+from .grid import BrokenLogGrid, LogGrid
 from .healpix_grid import HEALPixRefinementGrid, _nest_vectors
 
 __all__ = ["SphereLogRadiusGrid", "SphereRadiusICRKernel", "SphereRadiusICRField"]
@@ -43,16 +43,30 @@ class SphereLogRadiusGrid:
         depth: int,
         r_padding: int = 1,
         r_splits: int = 2,
+        r_linthresh: Optional[float] = None,
     ):
         self.sphere = HEALPixRefinementGrid(nside0=nside0, depth=depth)
-        self.radial = LogGrid(
-            shape0=n_r0,
-            depth=depth,
-            r_min=r_min,
-            r_max=r_max,
-            padding=r_padding,
-            splits=r_splits,
-        )
+        if r_linthresh is None:
+            self.radial = LogGrid(
+                shape0=n_r0,
+                depth=depth,
+                r_min=r_min,
+                r_max=r_max,
+                padding=r_padding,
+                splits=r_splits,
+            )
+        else:
+            # symlog radial chart: linear inside r_linthresh (resolves the
+            # observer's neighborhood without the log chart's r→0 pile-up)
+            self.radial = BrokenLogGrid(
+                shape0=n_r0,
+                depth=depth,
+                r_min=r_min,
+                r_linthresh=r_linthresh,
+                r_max=r_max,
+                padding=r_padding,
+                splits=r_splits,
+            )
         self.depth = int(depth)
         self.shapes = [
             (12 * n * n, m[0])

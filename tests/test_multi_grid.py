@@ -46,6 +46,61 @@ def test_log_grid_monotone():
         assert r[0] > 0.05 and r[-1] < 12.0
 
 
+def test_broken_log_grid_geometry():
+    """Linear spacing below the threshold, log spacing above, C¹ joins."""
+    from nifty_tpu.multi_grid import BrokenLogGrid
+
+    g = BrokenLogGrid(
+        shape0=64, depth=1, r_min=0.1, r_linthresh=1.0, r_max=100.0
+    )
+    r = g.at(0).index2coord(np.arange(64)[None])[0]
+    assert np.all(np.diff(r) > 0)
+    # linear region: constant spacing
+    lin = r[r < 0.9]
+    assert lin.size > 3
+    np.testing.assert_allclose(np.diff(lin), np.diff(lin)[0], rtol=1e-10)
+    # log region: constant ratio
+    log = r[(r > 1.2) & (r < 90.0)]
+    assert log.size > 3
+    np.testing.assert_allclose(
+        log[1:] / log[:-1], (log[1:] / log[:-1])[0], rtol=1e-10
+    )
+    # endpoints of the nominal range map to r_min/r_max
+    np.testing.assert_allclose(g._g2r(np.array([0.0, 1.0])), [0.1, 100.0])
+    # round trip and C¹ continuity across all four branches
+    gg = np.linspace(-0.05, 1.05, 1001)
+    rr = g._g2r(gg)
+    np.testing.assert_allclose(g._r2g(rr), gg, rtol=1e-9, atol=1e-12)
+    assert np.all(np.diff(rr) > 0)
+    # C¹ at the three break points: matching one-sided derivatives
+    h = 1e-7
+    for gb in (0.0, g._g_l, 1.0):
+        left = (g._g2r(gb) - g._g2r(gb - h)) / h
+        right = (g._g2r(gb + h) - g._g2r(gb)) / h
+        np.testing.assert_allclose(left, right, rtol=1e-4)
+
+
+def test_icr_broken_log_grid_covariance():
+    """ICR on the broken-log chart reproduces the kernel covariance."""
+    from nifty_tpu.multi_grid import BrokenLogGrid
+
+    ell = 0.6
+    cov_fn = lambda r: jnp.exp(-0.5 * (r / ell) ** 2)
+    grid = BrokenLogGrid(
+        shape0=20, depth=2, r_min=0.2, r_linthresh=1.0, r_max=6.0, padding=2
+    )
+    kern = ICRKernel(grid, cov_fn)
+    assert any(lay.n_unique > 1 for lay in kern._layouts)
+    emp = _dense_icr_cov(grid, cov_fn)
+    r = grid.at(grid.depth).index2coord(
+        np.arange(grid.shapes[-1][0])[None]
+    )[0]
+    true = np.exp(-0.5 * ((r[:, None] - r[None, :]) / ell) ** 2)
+    n = r.size
+    sl = slice(n // 4, 3 * n // 4)
+    np.testing.assert_allclose(emp[sl, sl], true[sl, sl], atol=0.05)
+
+
 def test_mgrid_product():
     ga = SimpleOpenGrid(shape0=(8,), depth=1, padding=1)
     gb = LogGrid(shape0=8, depth=1, r_min=1.0, r_max=4.0)
@@ -322,3 +377,31 @@ def test_sphere_radius_icr_field():
     c_far = np.corrcoef(smp[:, 5, 0], smp[:, 5, 27])[0, 1]
     assert c_near > 0.4
     assert abs(c_far) < 0.5
+
+
+def test_sphere_radius_broken_log_radial():
+    """Sphere × symlog (broken-log) radial chart runs and stays finite."""
+    from nifty_tpu import native
+    from nifty_tpu.multi_grid import BrokenLogGrid
+    from nifty_tpu.multi_grid.sphere_radius import (
+        SphereLogRadiusGrid,
+        SphereRadiusICRField,
+    )
+
+    if not native.native_available():
+        pytest.skip("native healpix unavailable")
+    grid = SphereLogRadiusGrid(
+        nside0=1,
+        n_r0=10,
+        r_min=0.2,
+        r_linthresh=1.0,
+        r_max=4.0,
+        depth=1,
+        r_padding=1,
+    )
+    assert isinstance(grid.radial, BrokenLogGrid)
+    f = SphereRadiusICRField(grid, lambda r: jnp.exp(-0.5 * (r / 0.8) ** 2))
+    p = f.init(random.PRNGKey(40))
+    out = jax.jit(f)(p)
+    assert out.shape == grid.shapes[-1]
+    assert np.all(np.isfinite(np.asarray(out)))
