@@ -20,6 +20,7 @@ from collections import namedtuple
 from functools import partial, reduce
 from typing import Any, Callable, Optional, Tuple, Union
 
+import jax
 import numpy as np
 from jax import numpy as jnp
 
@@ -279,6 +280,38 @@ def _remove_slope(rel_log_mode_dist, x):
     return x - x[-1] * sc
 
 
+def _pwl_apply(res, coef):
+    """Σ_k coef_k · relu(x − knot_k): fused relu-feature sum.  XLA fuses
+    the K-reduction per pixel — nothing of size (n_pixels, K) hits HBM."""
+    x, knots = res
+    return jnp.sum(coef * jnp.maximum(x[..., None] - knots[:-1], 0.0), axis=-1)
+
+
+def _pwl_transpose(res, cot):
+    """Pull-back of :func:`_pwl_apply` w.r.t. `coef`: one fused masked
+    grid-reduction per knot (sequential, bounded memory) instead of the
+    default (n_pixels, K) feature materialization."""
+    x, knots = res
+    return jax.lax.map(
+        lambda t: jnp.sum(cot * jnp.maximum(x - t, 0.0)), knots[:-1]
+    )
+
+
+def _pwl_relu_features(x, knots, coef):
+    """Piecewise-linear spectrum deviations on the pixel grid, linear in
+    `coef`, with a TPU-sized custom transpose (metric/vjp hot path).
+
+    ``linear_call`` has no batching rule; under ``vmap`` (VModel-batched
+    fields — small grids in practice) fall back to the default transpose.
+    """
+    try:
+        return jax.custom_derivatives.linear_call(
+            _pwl_apply, _pwl_transpose, (x, knots), coef
+        )
+    except NotImplementedError:
+        return _pwl_apply((x, knots), coef)
+
+
 # --- amplitude models --------------------------------------------------------
 
 
@@ -401,13 +434,18 @@ class NonParametricAmplitude(Model):
 
     def _ln_deviations_at(self, x, primals):
         """Piecewise-linear deviation curve evaluated at arbitrary relative
-        log mode lengths `x` — a fused relu-feature sum (no gather)."""
+        log mode lengths `x` — a fused relu-feature sum (no gather).
+
+        The map knot-coefficients → grid is linear; its *default* XLA
+        transpose would materialize the (n_pixels, n_knots) feature tensor
+        (gigabytes at ≥4096² — several hundred ms of pure HBM traffic per
+        metric apply).  ``linear_call`` installs a custom pull-back that
+        reduces the grid once per knot instead (sequential ``lax.map``:
+        no large intermediate, ~K fused passes)."""
         d = self._dev_knot_values(primals)
         seg = jnp.diff(d) / jnp.diff(self.knots)
         coef = jnp.concatenate((seg[:1], jnp.diff(seg)))
-        return jnp.sum(
-            coef * jnp.maximum(x[..., None] - self.knots[:-1], 0.0), axis=-1
-        )
+        return _pwl_relu_features(x, self.knots, coef)
 
     def expanded_normalized(self, primals, azm):
         """Normalized amplitude on the full harmonic grid, evaluated per
