@@ -304,12 +304,22 @@ def _pwl_relu_features(x, knots, coef):
 
     ``linear_call`` has no batching rule; under ``vmap`` (VModel-batched
     fields — small grids in practice) fall back to the default transpose.
+    The batch tracers are detected up front rather than by catching
+    ``NotImplementedError``, which would also swallow unrelated errors
+    raised while tracing the apply/transpose bodies.
     """
+    from jax._src.interpreters.batching import BatchTracer
+
+    if any(isinstance(v, BatchTracer) for v in (x, knots, coef)):
+        return _pwl_apply((x, knots), coef)
     try:
         return jax.custom_derivatives.linear_call(
             _pwl_apply, _pwl_transpose, (x, knots), coef
         )
-    except NotImplementedError:
+    except NotImplementedError as e:
+        # batch tracers hidden under a nested trace (e.g. jit-of-vmap)
+        if "batching" not in str(e).lower():
+            raise
         return _pwl_apply((x, knots), coef)
 
 

@@ -136,21 +136,44 @@ def mask_adjoint(keep):
 
 
 def zero_pad(new_shape: Sequence[int], *, center: bool = False):
-    """Embed a field into a larger grid, padding with zeros (harmonic-
-    space upsampling / aliasing control).  Ref: ``nifty/cl/operators/
-    field_zero_padder.py``."""
+    """Embed a field into a larger grid, padding with zeros.
+
+    ``center=False`` pads at the end of each axis (position-space
+    embedding).  ``center=True`` follows the reference FieldZeroPadder's
+    *harmonic-layout* convention (``nifty/cl/operators/
+    field_zero_padder.py:85-95``): the zeros are inserted at the Nyquist
+    split — the low-|k| head ``x[:n//2+1]`` keeps its position at the
+    start of the axis and the negative-frequency tail ``x[-(n//2):]``
+    moves to the end, so an FFT-layout spectrum is upsampled without
+    scrambling (the even-length Nyquist bin is duplicated into head and
+    tail, matching the reference).
+    """
     new_shape = tuple(int(s) for s in new_shape)
 
     def apply(x):
         if x.ndim != len(new_shape):
             raise ValueError(f"rank mismatch: {x.shape} vs {new_shape}")
-        pads = []
-        for old, new in zip(x.shape, new_shape):
-            if new < old:
-                raise ValueError("zero_pad target must not be smaller")
-            lo = (new - old) // 2 if center else 0
-            pads.append((lo, new - old - lo, 0))
-        return jax.lax.pad(x, jnp.zeros((), x.dtype), pads)
+        if any(new < old for old, new in zip(x.shape, new_shape)):
+            raise ValueError("zero_pad target must not be smaller")
+        if not center:
+            pads = [(0, new - old, 0) for old, new in zip(x.shape, new_shape)]
+            return jax.lax.pad(x, jnp.zeros((), x.dtype), pads)
+        for ax, new in enumerate(new_shape):
+            old = x.shape[ax]
+            if new == old:
+                continue
+            nyq = old // 2
+            idx = (slice(None),) * ax
+            out = jnp.zeros(x.shape[:ax] + (new,) + x.shape[ax + 1 :], x.dtype)
+            out = out.at[idx + (slice(0, nyq + 1),)].set(
+                x[idx + (slice(0, nyq + 1),)]
+            )
+            if nyq > 0:
+                out = out.at[idx + (slice(new - nyq, new),)].set(
+                    x[idx + (slice(old - nyq, old),)]
+                )
+            x = out
+        return x
 
     return apply
 
@@ -214,10 +237,20 @@ def matrix_product(matrix, *, axis: int = -1):
 
 
 def block_diagonal(fns: Mapping[str, Callable]):
-    """Apply one (linear) function per key of a dict input.  Ref:
+    """Apply one (linear) function per key of a dict input; keys without
+    an entry in `fns` pass through unchanged.  A key in `fns` that is
+    absent from the input raises (so a typo'd operator key cannot be
+    silently dropped — the reference BlockDiagonalOperator requires the
+    operator dict to match the domain).  Ref:
     ``nifty/cl/operators/block_diagonal_operator.py``."""
     def apply(x):
         xd = x.tree if isinstance(x, Vector) else x
+        unknown = set(fns) - set(xd)
+        if unknown:
+            raise KeyError(
+                f"block_diagonal: keys {sorted(unknown)} not in input "
+                f"domain {sorted(xd)}"
+            )
         out = {k: fns[k](v) if k in fns else v for k, v in xd.items()}
         return Vector(out) if isinstance(x, Vector) else out
 
@@ -268,7 +301,9 @@ def regrid(new_shape: Sequence[int]):
 def linear_interpolation(positions, *, distances, offset=None):
     """Multilinear interpolation of a regular grid at arbitrary physical
     `positions` (shape ``(ndim, n_points)``).  Linear in the field, so the
-    response of an instrument sampling a sky at point locations.  Ref:
+    response of an instrument sampling a sky at point locations.  Sampling
+    positions wrap periodically (the grid is a torus), matching the
+    reference LinearInterpolator's boundary convention.  Ref:
     ``nifty/cl/operators/linear_interpolation.py:32``."""
     positions = np.asarray(positions, float)
     ndim, _ = positions.shape
@@ -282,7 +317,9 @@ def linear_interpolation(positions, *, distances, offset=None):
     frac = jnp.asarray(frac)
 
     def apply(x):
-        return jax.scipy.ndimage.map_coordinates(x, list(frac), order=1)
+        return jax.scipy.ndimage.map_coordinates(
+            x, list(frac), order=1, mode="wrap"
+        )
 
     return apply
 

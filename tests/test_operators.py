@@ -152,3 +152,46 @@ def test_operators_compose_with_models():
     ).amend(fwd)
     val = jax.jit(lh)(p)
     assert np.isfinite(float(val))
+
+
+def test_zero_pad_center_nyquist_split():
+    """center=True upsamples an FFT-layout spectrum: rfft of the padded
+    signal keeps the original harmonic content in the low-|k| head/tail
+    (reference FieldZeroPadder central=True,
+    nifty/cl/operators/field_zero_padder.py:85-95)."""
+    n, N = 8, 16
+    x = jnp.asarray(np.fft.fft(np.random.default_rng(0).normal(size=n)))
+    pad = ops.zero_pad((N,), center=True)
+    y = np.asarray(pad(x))
+    # head: low frequencies 0..n//2 stay put
+    np.testing.assert_allclose(y[: n // 2 + 1], np.asarray(x)[: n // 2 + 1])
+    # tail: negative frequencies move to the end
+    np.testing.assert_allclose(y[N - n // 2 :], np.asarray(x)[n - n // 2 :])
+    # middle is zero
+    np.testing.assert_allclose(y[n // 2 + 1 : N - n // 2], 0.0)
+    # band-limited interpolation check: padding the spectrum of a pure
+    # low-frequency cosine and inverse-transforming reproduces the cosine
+    # sampled at the finer rate (amplitude rescaled by N/n)
+    t_c = np.cos(2 * np.pi * 2 * np.arange(n) / n)
+    spec = jnp.asarray(np.fft.fft(t_c))
+    fine = np.fft.ifft(np.asarray(pad(spec))) * (N / n)
+    expect = np.cos(2 * np.pi * 2 * np.arange(N) / N)
+    np.testing.assert_allclose(fine.real, expect, atol=1e-12)
+
+
+def test_block_diagonal_unknown_key_raises():
+    bd = ops.block_diagonal({"a": ops.scaling(2.0), "typo": ops.scaling(1.0)})
+    with pytest.raises(KeyError):
+        bd({"a": jnp.ones(3), "b": jnp.ones(2)})
+
+
+def test_linear_interpolation_periodic_wrap():
+    """Sampling positions wrap around the torus (reference
+    LinearInterpolator convention)."""
+    n = 8
+    x = jnp.asarray(np.random.default_rng(1).normal(size=n))
+    # position exactly one period out ≡ position 0
+    li = ops.linear_interpolation(np.array([[0.0, float(n), n - 0.5]]), distances=1.0)
+    out = np.asarray(li(x))
+    np.testing.assert_allclose(out[1], out[0], atol=1e-12)
+    np.testing.assert_allclose(out[2], 0.5 * (x[-1] + x[0]), atol=1e-12)
