@@ -253,3 +253,29 @@ def test_matern_pixel_expansion_matches_table():
         rtol=1e-10,
         atol=1e-10,
     )
+
+
+@pytest.mark.parametrize("shape", [(16,), (17,), (16, 12), (15, 9), (8, 6, 10)])
+def test_folded_distributor_exactness(shape):
+    """The mirror-folded power distributor (gather on the (n//2+1)^d core +
+    mirror expansion) is bit-identical to the full-table gather — the |k|
+    grid is invariant under reversing any axis."""
+    from nifty_tpu.models.correlated_field import _mirror_unfold
+
+    cfm = nt.CorrelatedFieldMaker("cf")
+    cfm.set_amplitude_total_offset(offset_mean=0.5, offset_std=(1e-1, 3e-2))
+    cfm.add_fluctuations(
+        shape,
+        distances=1.0 / shape[0],
+        fluctuations=(1.0, 5e-1),
+        loglogavgslope=(-3.0, 2e-1),
+        flexibility=(1e0, 2e-1),
+    )
+    cf = cfm.finalize()
+    pos = cf.init(random.PRNGKey(3))
+    g = cf.target_grids[0]
+    pd = np.asarray(g.harmonic_grid.power_distributor)
+    azm = cf.azm(pos)
+    a = cf.amplitudes[0](pos).at[1:].mul(1.0 / azm)
+    ea_folded = _mirror_unfold(a[cf.distributors[0]], tuple(pd.shape))
+    np.testing.assert_array_equal(np.asarray(ea_folded), np.asarray(a)[pd])
