@@ -11,7 +11,7 @@ import swap.
 """
 
 from . import conjugate_gradient, optimize
-from .conjugate_gradient import CGResults, cg, static_cg
+from .conjugate_gradient import CGResults, SteihaugResults, cg, cg_steihaug, static_cg
 from .evi import (
     Samples,
     concatenate_zip,
@@ -105,7 +105,14 @@ from .num.stats_distributions import (
     normal_prior,
     uniform_prior,
 )
-from .optimize import OptimizeResults, minimize, newton_cg, static_newton_cg
+from .optimize import (
+    OptimizeResults,
+    minimize,
+    newton_cg,
+    optax_wrapper,
+    static_newton_cg,
+    trust_ncg,
+)
 from .optimize_kl import OptimizeVI, OptimizeVIState, optimize_kl
 from .ops.fft import hartley
 from .utils.misc import hvp, interpolate, wrap, wrap_left

@@ -32,7 +32,7 @@ from .logger import logger
 from .utils.tree import norm as tree_norm
 from .utils.tree import result_type, size, tree_axpy, vdot, where, zeros_like
 
-__all__ = ["CGResults", "cg", "static_cg"]
+__all__ = ["CGResults", "SteihaugResults", "cg", "cg_steihaug", "static_cg"]
 
 N_RESET = 20  # recompute the residual exactly every N iterations
 
@@ -259,4 +259,169 @@ def static_cg(
         nit=final["iteration"],
         nfev=final["iteration"],
         success=final["info"] == 0,
+    )
+
+
+# --- trust-region (Steihaug) CG ----------------------------------------------
+
+
+class SteihaugResults(NamedTuple):
+    step: Any
+    hits_boundary: Any
+    pred_f: Any
+    nit: Any
+    nhev: Any
+    success: Any
+
+
+def _tr_boundary_roots(z, d, trust_radius):
+    """Both roots of ‖z + t·d‖₂ = Δ, numerically stable (smaller first)."""
+    a = jnp.real(vdot(d, d))
+    b = 2.0 * jnp.real(vdot(z, d))
+    c = jnp.real(vdot(z, z)) - trust_radius**2
+    disc = jnp.sqrt(jnp.maximum(b * b - 4.0 * a * c, 0.0))
+    # avoid catastrophic cancellation: compute the large-|.| root first
+    aux = b + jnp.copysign(disc, b)
+    ta = -aux / (2.0 * a)
+    tb = -2.0 * c / aux
+    return jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+
+
+def cg_steihaug(
+    mat: Callable,
+    j,
+    *,
+    trust_radius,
+    cur_val=0.0,
+    absdelta=None,
+    resnorm=None,
+    norm_ord=None,
+    miniter: Optional[int] = None,
+    maxiter: Optional[int] = None,
+    name: Optional[str] = None,
+) -> SteihaugResults:
+    """CG solution of the trust-region subproblem (Nocedal & Wright alg.
+    7.2): minimize the local quadratic model m(p) = f + ⟨g,p⟩ + ½⟨p,B p⟩
+    subject to ‖p‖ ≤ Δ, requiring only Hessian-vector products.
+
+    Fully `lax`-native (one ``while_loop``), so it jits/shards like
+    :func:`static_cg`; under a field-sharded tree the vdots reduce with
+    psum collectives.  One Hessian-vector product per iteration and none
+    at exit: boundary/interior model values come from the CG invariant
+    r = g + Bz.  Matches the semantics of the reference
+    (``nifty/re/conjugate_gradient.py:453``); independent implementation.
+    Note the sign convention: `j` is the *gradient* g, and the returned
+    step already points downhill (no final negation required).
+    """
+    g = j
+    norm_ord = 2 if norm_ord is None else norm_ord
+    maxiter_fallback = 20 * size(g)
+    if miniter is None:
+        miniter = min(6, maxiter if maxiter is not None else maxiter_fallback)
+    if maxiter is None:
+        maxiter = max(min(200, maxiter_fallback), miniter)
+    eps = 6.0 * jnp.finfo(result_type(g)).eps
+
+    z0 = zeros_like(g)
+    zero = jnp.zeros((), result_type(g))
+    state = {
+        "z": z0,
+        "r": g,
+        "d": tree_map(jnp.negative, g),
+        "step": z0,
+        # model value m(z) - f of the current iterate / of the returned step
+        "energy": zero,
+        "pred": zero,
+        "hits_boundary": jnp.asarray(False),
+        "done": jnp.asarray(bool(maxiter == 0)),
+        "nit": jnp.zeros((), jnp.int32),
+        "nhev": jnp.zeros((), jnp.int32),
+    }
+
+    def cont(s):
+        return ~s["done"]
+
+    def step(s):
+        z, r, d = s["z"], s["r"], s["d"]
+        i = s["nit"] + 1
+
+        Bd = mat(d)
+        dBd = jnp.real(vdot(d, Bd))
+        rd = jnp.real(vdot(r, d))
+        r2 = jnp.real(vdot(r, r))
+        alpha = r2 / dBd
+        z_next = tree_axpy(alpha, d, z)
+        r_next = tree_axpy(alpha, Bd, r)
+        r2_next = jnp.real(vdot(r_next, r_next))
+        d_next = tree_axpy(r2_next / r2, d, tree_map(jnp.negative, r_next))
+
+        # model value of the next iterate via the CG invariant r = g + Bz:
+        # m(z) - f = ½⟨r + g, z⟩
+        energy_next = jnp.real(
+            vdot(tree_map(lambda a, b: (a + b) / 2.0, r_next, g), z_next)
+        )
+        energy_diff = s["energy"] - energy_next
+        rn = (
+            jnp.sqrt(r2_next)
+            if norm_ord == 2
+            else tree_norm(r_next, ord=norm_ord)
+        )
+        interior_conv = jnp.asarray(i >= maxiter)
+        if resnorm is not None:
+            interior_conv |= rn < resnorm
+        if absdelta is not None:
+            interior_conv |= (
+                (energy_diff >= -eps * jnp.abs(energy_next))
+                & (energy_diff < absdelta)
+                & (i >= miniter)
+            )
+
+        zn = tree_norm(z_next, ord=2)
+        neg_curv = dBd <= 0.0
+        crosses = zn >= trust_radius
+
+        # boundary intersections of z + t·d with the trust sphere; model
+        # along the line: m(z + t d) = m(z) + t⟨r,d⟩ + ½t²⟨d,Bd⟩ — no
+        # extra Hessian products needed
+        ta, tb = _tr_boundary_roots(z, d, trust_radius)
+        m_z = s["energy"]
+        m_ta = m_z + ta * rd + 0.5 * ta * ta * dBd
+        m_tb = m_z + tb * rd + 0.5 * tb * tb * dBd
+        t_neg = jnp.where(m_ta < m_tb, ta, tb)
+        m_neg = jnp.minimum(m_ta, m_tb)
+        p_neg = tree_axpy(t_neg, d, z)
+        p_cross = tree_axpy(tb, d, z)
+
+        new_step = s["step"]
+        new_pred = s["pred"]
+        new_step = where(interior_conv, z_next, new_step)
+        new_pred = jnp.where(interior_conv, energy_next, new_pred)
+        new_step = where(crosses & ~neg_curv, p_cross, new_step)
+        new_pred = jnp.where(crosses & ~neg_curv, m_tb, new_pred)
+        new_step = where(neg_curv, p_neg, new_step)
+        new_pred = jnp.where(neg_curv, m_neg, new_pred)
+        done = neg_curv | crosses | interior_conv
+        hits = neg_curv | crosses
+
+        return {
+            "z": z_next,
+            "r": r_next,
+            "d": d_next,
+            "step": new_step,
+            "energy": energy_next,
+            "pred": new_pred,
+            "hits_boundary": jnp.where(done, hits, s["hits_boundary"]),
+            "done": done,
+            "nit": i,
+            "nhev": s["nhev"] + 1,
+        }
+
+    final = lax.while_loop(cont, step, state)
+    return SteihaugResults(
+        step=final["step"],
+        hits_boundary=final["hits_boundary"],
+        pred_f=cur_val + final["pred"],
+        nit=final["nit"],
+        nhev=final["nhev"],
+        success=jnp.asarray(True),
     )

@@ -7,8 +7,8 @@ import pytest
 from jax import random
 
 import nifty_tpu as nt
-from nifty_tpu.conjugate_gradient import cg, static_cg
-from nifty_tpu.optimize import newton_cg, static_newton_cg
+from nifty_tpu.conjugate_gradient import cg, cg_steihaug, static_cg
+from nifty_tpu.optimize import minimize, newton_cg, static_newton_cg
 
 
 def _spd_matvec(n, seed=0, cond=50.0):
@@ -118,3 +118,92 @@ def test_newton_cg_quadratic_one_step():
     # inexact-Newton forcing terms allow a few iterations, but convergence
     # on a quadratic must be fast
     assert int(res.nit) <= 6
+
+
+def test_cg_steihaug_interior_matches_solve():
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(6, 6))
+    A = A @ A.T + 6 * np.eye(6)
+    b = rng.normal(size=6)
+    res = cg_steihaug(
+        lambda x: jnp.asarray(A) @ x, jnp.asarray(b), trust_radius=1e3,
+        resnorm=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.step), -np.linalg.solve(A, b), atol=1e-10
+    )
+    assert not bool(res.hits_boundary)
+
+
+def test_cg_steihaug_boundary_and_negative_curvature():
+    rng = np.random.default_rng(1)
+    A = rng.normal(size=(6, 6))
+    A = A @ A.T + 6 * np.eye(6)
+    b = rng.normal(size=6)
+    res = cg_steihaug(
+        lambda x: jnp.asarray(A) @ x, jnp.asarray(b), trust_radius=0.05,
+        resnorm=1e-12,
+    )
+    assert bool(res.hits_boundary)
+    np.testing.assert_allclose(float(jnp.linalg.norm(res.step)), 0.05, rtol=1e-10)
+    # indefinite curvature walks to the boundary
+    res2 = cg_steihaug(
+        lambda x: -x, jnp.asarray([1.0, 0.0, 0.0]), trust_radius=2.0
+    )
+    assert bool(res2.hits_boundary)
+    np.testing.assert_allclose(float(jnp.linalg.norm(res2.step)), 2.0, rtol=1e-12)
+    # predicted model value at the step: <g,p> + 0.5 <p,Bp>
+    np.testing.assert_allclose(float(res2.pred_f), -4.0, atol=1e-12)
+
+
+def _rosen(x):
+    return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2)
+
+
+def test_trust_ncg_rosenbrock():
+    r = minimize(
+        _rosen, jnp.zeros(6), method="trust-ncg",
+        options=dict(maxiter=500, gtol=1e-8),
+    )
+    assert int(r.status) == 0
+    np.testing.assert_allclose(np.asarray(r.x), 1.0, atol=1e-6)
+
+
+def test_trust_ncg_quadratic_jitted():
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(8, 8))
+    A = A @ A.T + 8 * np.eye(8)
+    b = rng.normal(size=8)
+
+    def q(x):
+        return 0.5 * x @ jnp.asarray(A) @ x - jnp.asarray(b) @ x
+
+    run = jax.jit(
+        lambda x0: minimize(
+            q, x0, method="trust-ncg", options=dict(maxiter=100, gtol=1e-10)
+        ).x
+    )
+    np.testing.assert_allclose(
+        np.asarray(run(jnp.zeros(8))), np.linalg.solve(A, b), atol=1e-8
+    )
+
+
+def test_optax_lbfgs_bridge():
+    r = minimize(
+        _rosen, jnp.zeros(6), method="l-bfgs",
+        options=dict(maxiter=500, xtol=1e-10),
+    )
+    np.testing.assert_allclose(np.asarray(r.x), 1.0, atol=1e-5)
+
+
+def test_optax_adam_bridge():
+    import optax
+
+    def q(x):
+        return jnp.sum((x - 2.0) ** 2)
+
+    r = minimize(
+        q, jnp.zeros(4), method="optax",
+        options=dict(optimizer=optax.adam(0.2), maxiter=2000, xtol=1e-7),
+    )
+    np.testing.assert_allclose(np.asarray(r.x), 2.0, atol=1e-3)
