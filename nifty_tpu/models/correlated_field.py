@@ -354,29 +354,86 @@ def _pwl_transpose(res, cot):
     return jnp.sum(cot[..., None] * feats, axis=tuple(range(x.ndim)))
 
 
+def _pwl_jvp_x(tx, x, knots, coef):
+    # d/dx Σ coef_k·relu(x − knot_k) = Σ coef_k·1(x > knot_k) (a.e.)
+    steps = jnp.sum(
+        coef * (x[..., None] > knots[:-1]).astype(coef.dtype), axis=-1
+    )
+    return tx * steps
+
+
+def _pwl_jvp_coef(tcoef, x, knots, coef):
+    return _pwl_apply((x, knots), tcoef)
+
+
+def _pwl_transpose_rule(cot, x, knots, coef):
+    from jax.interpreters import ad
+
+    if ad.is_undefined_primal(coef):
+        if ad.is_undefined_primal(x) or ad.is_undefined_primal(knots):
+            raise NotImplementedError(
+                "pwl_features transpose only w.r.t. `coef`"
+            )
+        return None, None, _pwl_transpose((x, knots), cot)
+    raise NotImplementedError("pwl_features is only linear in `coef`")
+
+
+def _pwl_batch_rule(args, dims):
+    x, knots, coef = args
+
+    def call(x_, k_, c_):
+        return _pwl_apply((x_, k_), c_)
+
+    out = jax.vmap(call, in_axes=dims)(x, knots, coef)
+    return out, 0
+
+
+def _make_pwl_primitive():
+    """`Σ_k coef_k·relu(x − knot_k)` as a first-class primitive.
+
+    The pull-back w.r.t. `coef` (the metric/vjp hot path) reduces the
+    pixel grid once per knot in a single fused broadcast-reduce instead of
+    materializing the (n_pixels, K) feature tensor (gigabytes at ≥4096²).
+    A primitive — rather than ``jax.custom_derivatives.linear_call`` —
+    because it needs a *batching* rule too: under ``vmap`` (VModel-batched
+    fields, vmapped VI samplers) ``linear_call`` raises at transform time,
+    where no call-site fallback can catch it.
+    """
+    try:
+        from jax.extend.core import Primitive
+    except ImportError:  # pragma: no cover - older jax
+        from jax.core import Primitive
+    from jax.interpreters import ad, batching, mlir
+
+    prim = Primitive("nifty_pwl_features")
+
+    def _impl(x, knots, coef):
+        return _pwl_apply((x, knots), coef)
+
+    prim.def_impl(_impl)
+
+    def _abstract(x, knots, coef):
+        dtype = jnp.result_type(x.dtype, knots.dtype, coef.dtype)
+        return jax.core.ShapedArray(x.shape, dtype)
+
+    prim.def_abstract_eval(_abstract)
+    ad.defjvp(prim, _pwl_jvp_x, None, _pwl_jvp_coef)
+    ad.primitive_transposes[prim] = _pwl_transpose_rule
+    batching.primitive_batchers[prim] = _pwl_batch_rule
+    mlir.register_lowering(prim, mlir.lower_fun(_impl, multiple_results=False))
+    return prim
+
+
+_pwl_features_p = _make_pwl_primitive()
+
+
 def _pwl_relu_features(x, knots, coef):
     """Piecewise-linear spectrum deviations on the pixel grid, linear in
-    `coef`, with a TPU-sized custom transpose (metric/vjp hot path).
-
-    ``linear_call`` has no batching rule; under ``vmap`` (VModel-batched
-    fields — small grids in practice) fall back to the default transpose.
-    The batch tracers are detected up front rather than by catching
-    ``NotImplementedError``, which would also swallow unrelated errors
-    raised while tracing the apply/transpose bodies.
-    """
-    from jax._src.interpreters.batching import BatchTracer
-
-    if any(isinstance(v, BatchTracer) for v in (x, knots, coef)):
-        return _pwl_apply((x, knots), coef)
-    try:
-        return jax.custom_derivatives.linear_call(
-            _pwl_apply, _pwl_transpose, (x, knots), coef
-        )
-    except NotImplementedError as e:
-        # batch tracers hidden under a nested trace (e.g. jit-of-vmap)
-        if "batching" not in str(e).lower():
-            raise
-        return _pwl_apply((x, knots), coef)
+    `coef`, with a TPU-sized custom transpose (metric/vjp hot path)."""
+    dtype = jnp.result_type(x, knots, coef)
+    return _pwl_features_p.bind(
+        jnp.asarray(x, dtype), jnp.asarray(knots, dtype), jnp.asarray(coef, dtype)
+    )
 
 
 # --- amplitude models --------------------------------------------------------

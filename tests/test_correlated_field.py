@@ -279,3 +279,63 @@ def test_folded_distributor_exactness(shape):
     a = cf.amplitudes[0](pos).at[1:].mul(1.0 / azm)
     ea_folded = _mirror_unfold(a[cf.distributors[0]], tuple(pd.shape))
     np.testing.assert_array_equal(np.asarray(ea_folded), np.asarray(a)[pd])
+
+
+def test_pwl_features_primitive_transforms():
+    """The relu-feature primitive (knot-spectrum hot path) agrees with its
+    naive jnp formula under grad / jvp / linear_transpose / vmap / jit."""
+    from nifty_tpu.models.correlated_field import _pwl_relu_features
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0.0, 5.0, size=(7, 9)))
+    knots = jnp.asarray(np.sort(rng.uniform(0.0, 5.0, size=6)))
+    coef = jnp.asarray(rng.normal(size=5))
+
+    def naive(c):
+        return jnp.sum(c * jnp.maximum(x[..., None] - knots[:-1], 0.0), -1)
+
+    f = lambda c: _pwl_relu_features(x, knots, c)
+    np.testing.assert_allclose(np.asarray(f(coef)), np.asarray(naive(coef)), atol=1e-13)
+
+    # reverse mode (the custom fused transpose)
+    ct = jnp.asarray(rng.normal(size=x.shape))
+    g1 = jax.grad(lambda c: jnp.vdot(f(c), ct))(coef)
+    g2 = jax.grad(lambda c: jnp.vdot(naive(c), ct))(coef)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-12)
+
+    # forward mode
+    t = jnp.asarray(rng.normal(size=5))
+    np.testing.assert_allclose(
+        np.asarray(jax.jvp(f, (coef,), (t,))[1]),
+        np.asarray(jax.jvp(naive, (coef,), (t,))[1]),
+        atol=1e-12,
+    )
+
+    # linear_transpose (metric path)
+    lt1 = jax.linear_transpose(f, coef)(ct)
+    lt2 = jax.linear_transpose(naive, coef)(ct)
+    np.testing.assert_allclose(np.asarray(lt1[0]), np.asarray(lt2[0]), atol=1e-12)
+
+    # vmap over coef batches, and jit-of-vmap, and grad-of-vmap
+    C = jnp.asarray(rng.normal(size=(3, 5)))
+    np.testing.assert_allclose(
+        np.asarray(jax.vmap(f)(C)), np.asarray(jax.vmap(naive)(C)), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(jax.vmap(f))(C)),
+        np.asarray(jax.vmap(naive)(C)),
+        atol=1e-12,
+    )
+    gb1 = jax.grad(lambda c: jnp.sum(jax.vmap(f)(c) ** 2))(C)
+    gb2 = jax.grad(lambda c: jnp.sum(jax.vmap(naive)(c) ** 2))(C)
+    np.testing.assert_allclose(np.asarray(gb1), np.asarray(gb2), atol=1e-11)
+
+    # jvp w.r.t. x (used when x ever becomes traced)
+    tx = jnp.asarray(rng.normal(size=x.shape))
+    jx1 = jax.jvp(lambda xx: _pwl_relu_features(xx, knots, coef), (x,), (tx,))[1]
+    jx2 = jax.jvp(
+        lambda xx: jnp.sum(coef * jnp.maximum(xx[..., None] - knots[:-1], 0.0), -1),
+        (x,),
+        (tx,),
+    )[1]
+    np.testing.assert_allclose(np.asarray(jx1), np.asarray(jx2), atol=1e-12)
