@@ -47,6 +47,7 @@ from .likelihood_impl import (
     Bernoulli,
     Categorical,
     Gaussian,
+    NDVariableCovarianceGaussian,
     Poissonian,
     StudentT,
     VariableCovarianceGaussian,

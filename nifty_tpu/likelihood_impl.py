@@ -27,6 +27,7 @@ __all__ = [
     "Bernoulli",
     "Categorical",
     "Gaussian",
+    "NDVariableCovarianceGaussian",
     "Poissonian",
     "StudentT",
     "VariableCovarianceGaussian",
@@ -416,3 +417,121 @@ class Categorical(Likelihood):
 
     def right_sqrt_metric(self, primals, tangents):
         return self.left_sqrt_metric(primals, tangents)
+
+
+class NDVariableCovarianceGaussian(Likelihood):
+    """Multivariate Gaussian likelihood with a learnable full covariance
+    (or precision) matrix per pixel.
+
+    Acts on ``(mean, mat)`` tuples: every `mean` leaf has shape
+    ``(..., d)`` and the matching `mat` leaf ``(..., d, d)``, a symmetric
+    positive-definite covariance (``covariance=True``) or precision
+    matrix.  All matrix functions route through the spectral machinery of
+    :mod:`nifty_tpu.utils.tree_linalg` (stable Daleckii–Krein JVPs).
+    Behavioral parity with ``nifty/re/likelihood_impl.py:376``;
+    independent implementation.
+    """
+
+    data: Any = dataclasses.field(metadata=dict(static=False))
+
+    def __init__(self, data, covariance: bool = True):
+        from .utils.tree_linalg import sym_solve, sym_sqrtm  # noqa: F401
+
+        self.data = data
+        self.covariance = bool(covariance)
+        d = jax.tree_util.tree_leaves(data)[0].shape[-1]
+        shp = (
+            tree_map(
+                lambda x: ShapeWithDtype(x.shape[:-1] + (d,), x.dtype), data
+            ),
+            tree_map(
+                lambda x: ShapeWithDtype(x.shape[:-1] + (d, d), x.dtype), data
+            ),
+        )
+        super().__init__(domain=shp, lsm_tangents_shape=shp)
+
+    def _logdet_sum(self, mat):
+        return tree_reduce(
+            operator.add,
+            tree_map(lambda m: jnp.sum(jnp.linalg.slogdet(m)[1]), mat),
+            0.0,
+        )
+
+    def energy(self, primals):
+        from .utils.tree_linalg import sym_solve
+
+        mean, mat = primals
+        rsdl = _sub(self.data, mean)
+        if self.covariance:
+            white = sym_solve(mat, rsdl)
+            quad = 0.5 * jnp.real(vdot(rsdl, white))
+            return quad + 0.5 * self._logdet_sum(mat)
+        white = tree_map(
+            lambda m, r: jnp.einsum("...ij,...j->...i", m, r), mat, rsdl
+        )
+        quad = 0.5 * jnp.real(vdot(rsdl, white))
+        return quad - 0.5 * self._logdet_sum(mat)
+
+    def metric(self, primals, tangents):
+        from .utils.tree_linalg import sym_solve
+
+        _, mat = primals
+        t_mean, t_mat = tangents
+        if self.covariance:
+            res_mean = sym_solve(mat, t_mean)
+        else:
+            res_mean = tree_map(
+                lambda m, t: jnp.einsum("...ij,...j->...i", m, t), mat, t_mean
+            )
+        res_mat = sym_solve(mat, t_mat, matrix_eqn=True)
+        res_mat = sym_solve(mat, res_mat, matrix_eqn=True, transposed=True)
+        return type(primals)((res_mean, tree_map(lambda x: 0.5 * x, res_mat)))
+
+    def left_sqrt_metric(self, primals, tangents):
+        from .utils.tree_linalg import sym_solve, sym_sqrtm
+
+        _, mat = primals
+        t_mean, t_mat = tangents
+        sq = sym_sqrtm(mat)
+        if self.covariance:
+            res_mean = sym_solve(sq, t_mean)
+        else:
+            res_mean = tree_map(
+                lambda m, t: jnp.einsum("...ij,...j->...i", m, t), sq, t_mean
+            )
+        res_mat = sym_solve(sq, t_mat, matrix_eqn=True)
+        res_mat = sym_solve(sq, res_mat, matrix_eqn=True, transposed=True)
+        return type(primals)(
+            (res_mean, tree_map(lambda x: x / jnp.sqrt(2.0), res_mat))
+        )
+
+    def transformation(self, primals):
+        """Local approximation — no global Euclidean transformation
+        exists for a varying covariance."""
+        from .utils.tree_linalg import sym_logm, sym_solve, sym_sqrtm
+
+        mean, mat = primals
+        rsdl = _sub(mean, self.data)
+        if self.covariance:
+            res_mean = sym_solve(sym_sqrtm(mat), rsdl)
+        else:
+            res_mean = tree_map(
+                lambda m, r: jnp.einsum("...ij,...j->...i", m, r),
+                sym_sqrtm(mat),
+                rsdl,
+            )
+        res_mat = tree_map(lambda x: 0.5 * x, sym_logm(mat))
+        return type(primals)((res_mean, res_mat))
+
+    def normalized_residual(self, primals):
+        from .utils.tree_linalg import sym_solve, sym_sqrtm
+
+        mean, mat = primals
+        rsdl = _sub(mean, self.data)
+        if self.covariance:
+            return sym_solve(sym_sqrtm(mat), rsdl)
+        return tree_map(
+            lambda m, r: jnp.einsum("...ij,...j->...i", m, r),
+            sym_sqrtm(mat),
+            rsdl,
+        )

@@ -814,6 +814,8 @@ class CorrelatedField(Model):
         domain,
         init,
         dist_full_shapes=None,
+        field_mesh=None,
+        field_axis: str = "fx",
     ):
         self.amplitudes = tuple(amplitudes)
         self.distributors = tuple(distributors)
@@ -826,7 +828,41 @@ class CorrelatedField(Model):
         self.offset_mean = offset_mean
         self.xi_key = xi_key
         self.harmonic_transforms = tuple(harmonic_transforms)
+        self.field_mesh = field_mesh
+        self.field_axis = field_axis
         super().__init__(domain=domain, init=init)
+
+    def _field_sharding(self, ndim):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return NamedSharding(
+            self.field_mesh,
+            PartitionSpec(self.field_axis, *((None,) * (ndim - 1))),
+        )
+
+    def position_sharding(self, batch_ndim: int = 0):
+        """Pytree of `NamedSharding`s over :attr:`domain` for domain-
+        decomposed execution: the excitation field is sharded along its
+        leading axis over the field mesh, every other (small) parameter
+        is replicated.  Use with ``jax.device_put`` on positions/samples
+        before calling into jitted inference code.  ``batch_ndim`` leading
+        batch axes (e.g. a stacked-samples axis) are left unsharded."""
+        if getattr(self, "field_mesh", None) is None:
+            raise ValueError("model was finalized without a field mesh")
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(self.field_mesh, PartitionSpec())
+        out = {k: rep for k in self.domain}
+        xi_ndim = len(self.domain[str(self.xi_key)].shape)
+        out[str(self.xi_key)] = NamedSharding(
+            self.field_mesh,
+            PartitionSpec(
+                *((None,) * batch_ndim),
+                self.field_axis,
+                *((None,) * (xi_ndim - 1)),
+            ),
+        )
+        return out
 
     def __call__(self, p):
         azm = self.azm(p)
@@ -834,6 +870,7 @@ class CorrelatedField(Model):
         fshapes = getattr(
             self, "dist_full_shapes", (None,) * len(self.amplitudes)
         )
+        field_mesh = getattr(self, "field_mesh", None)
         for amp, dist, fshape in zip(self.amplitudes, self.distributors, fshapes):
             if dist is None:
                 # pixel-expansion amplitude: evaluated per harmonic-grid
@@ -855,9 +892,21 @@ class CorrelatedField(Model):
                 ea = _mirror_unfold(ea, fshape)
             # order matters — must match the excitation axes
             outer = ea if outer is None else jnp.tensordot(outer, ea, axes=0)
-        out = azm * outer * p[self.xi_key]
+        xi = p[self.xi_key]
+        if field_mesh is not None:
+            # domain decomposition: amplitude grid and excitations live
+            # row-sharded over the field mesh; the harmonic transform is
+            # the pencil FFT with explicit all_to_all transposes
+            sh = self._field_sharding(xi.ndim)
+            outer = jax.lax.with_sharding_constraint(outer, sh)
+            xi = jax.lax.with_sharding_constraint(xi, sh)
+        out = azm * outer * xi
         for dvol, ht in self.harmonic_transforms:
             out = dvol * ht(out)
+        if field_mesh is not None:
+            out = jax.lax.with_sharding_constraint(
+                out, self._field_sharding(out.ndim)
+            )
         return self.offset_mean + out
 
 
@@ -1031,9 +1080,38 @@ class CorrelatedFieldMaker:
         amp = self.amplitude
         return lambda p: amp(p) ** 2
 
-    def finalize(self) -> Model:
+    def finalize(self, field_mesh=None, field_axis: str = "fx") -> Model:
         """Assemble the model: ξ colored by the outer-product amplitude,
-        mapped through the harmonic transform(s), plus the offset."""
+        mapped through the harmonic transform(s), plus the offset.
+
+        With ``field_mesh`` (a `jax.sharding.Mesh` containing the axis
+        ``field_axis``) the model executes **domain-decomposed**: the
+        excitation field and correlated field are sharded along their
+        leading axis over the mesh, the Hartley transform runs as a
+        pencil FFT with explicit ``all_to_all`` transposes, and all
+        per-pixel work / reductions partition automatically — per-device
+        memory is O(N/p), the path to ≥10⁹-parameter fields (new ground
+        relative to the reference, which only shards samples;
+        ``SURVEY.md §5``).  Requires a single regular-Cartesian subgrid
+        of ndim ≥ 2 whose two leading axes are divisible by the mesh
+        axis size.  Use ``model.position_sharding()`` to place positions.
+        """
+        if field_mesh is not None:
+            if len(self._target_grids) != 1 or not isinstance(
+                self._target_grids[0], RegularCartesianGrid
+            ):
+                raise ValueError(
+                    "field_mesh requires a single regular-Cartesian subgrid"
+                )
+            if len(self._target_grids[0].shape) < 2:
+                raise ValueError("field_mesh requires an ndim >= 2 grid")
+            psize = field_mesh.shape[field_axis]
+            s0, s1 = self._target_grids[0].shape[:2]
+            if s0 % psize or s1 % psize:
+                raise ValueError(
+                    "the two leading grid axes must be divisible by the"
+                    f" field-mesh axis size {psize}"
+                )
         harmonic_transforms = []
         excitation_shape = ()
         for sgrid in self._target_grids:
@@ -1042,8 +1120,15 @@ class CorrelatedFieldMaker:
             n = len(excitation_shape)
             harmonic_dvol = 1.0 / sgrid.total_volume
             if isinstance(sgrid, RegularCartesianGrid):
-                axes = tuple(range(n - len(sub_shp), n))
-                trafo = partial(hartley, axes=axes)
+                if field_mesh is not None:
+                    from ..parallel.fft import sharded_hartley
+
+                    trafo = partial(
+                        sharded_hartley, mesh=field_mesh, axis_name=field_axis
+                    )
+                else:
+                    axes = tuple(range(n - len(sub_shp), n))
+                    trafo = partial(hartley, axes=axes)
             elif isinstance(sgrid, HEALPixGrid):
                 from ..ops.sht import get_healpix_synthesis
 
@@ -1102,6 +1187,8 @@ class CorrelatedFieldMaker:
             domain=dict(self._parameter_tree),
             init=init,
             dist_full_shapes=dist_full_shapes,
+            field_mesh=field_mesh,
+            field_axis=field_axis,
         )
         cf.normalized_amplitudes = self.get_normalized_amplitudes()
         cf.target_grids = tuple(self._target_grids)

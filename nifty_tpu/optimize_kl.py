@@ -140,6 +140,7 @@ class OptimizeVI:
         kl_reduce=_reduce,
         mirror_samples: bool = True,
         devices: Optional[list] = None,
+        position_sharding=None,
         _kl_value_and_grad: Optional[Callable] = None,
         _kl_metric: Optional[Callable] = None,
         _draw_linear_residual: Optional[Callable] = None,
@@ -153,6 +154,14 @@ class OptimizeVI:
 
         self.named_sharding = None
         self.named_sharding_rep = None
+        self.position_sharding = position_sharding
+        if position_sharding is not None and devices is not None:
+            raise NotImplementedError(
+                "simultaneous sample-mesh (devices=) and field-mesh"
+                " (position_sharding=) execution is not wired up yet; use"
+                " one or the other (samples map with vmap over the"
+                " field-sharded model)"
+            )
         if devices is not None and len(devices) > 1:
             import numpy as np
 
@@ -207,6 +216,8 @@ class OptimizeVI:
         sampler = self.residual_map(sampler, in_axes=(None, None, 0))
 
         if self.named_sharding is None:
+            if self.position_sharding is not None:
+                primals = jax.device_put(primals, self.position_sharding)
             smpls, states = sampler(self.likelihood, primals, keys)
             # interleave each sample with its mirror
             smpls = concatenate_zip(smpls, tree_map(jnp.negative, smpls))
@@ -475,6 +486,7 @@ def optimize_kl(
     callback: Optional[Callable] = None,
     odir: Optional[str] = None,
     devices: Optional[list] = None,
+    position_sharding=None,
     _optimize_vi=None,
     _optimize_vi_state=None,
 ) -> tuple[Samples, OptimizeVIState]:
@@ -499,6 +511,7 @@ def optimize_kl(
             kl_reduce=kl_reduce,
             mirror_samples=mirror_samples,
             devices=devices,
+            position_sharding=position_sharding,
         )
 
     last_fn = os.path.join(odir, LAST_FILENAME) if odir is not None else None
@@ -513,6 +526,15 @@ def optimize_kl(
     if resume and resume_fn is not None and os.path.isfile(resume_fn):
         with open(resume_fn, "rb") as f:
             samples, opt_vi_st = pickle.load(f)
+    if position_sharding is not None:
+        # domain-decomposed execution: place the (possibly resumed)
+        # position on the field mesh; everything downstream preserves the
+        # placement ("computation follows data" + in-model constraints)
+        samples = Samples(
+            pos=jax.device_put(samples.pos, position_sharding),
+            samples=samples._samples,
+            keys=samples.keys,
+        )
 
     opt_vi_st_init = opt_vi.init_state(
         key,

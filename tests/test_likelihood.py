@@ -59,8 +59,50 @@ def _vc_gaussian(key):
     }
 
 
+def _nd_vc_gaussian(key):
+    d = 3
+    data = random.normal(key, (6, d))
+    lh = nt.NDVariableCovarianceGaussian(data)
+
+    def fwd(x):
+        # symmetric positive-definite covariance from a latent square root
+        m = x["sqrt"]
+        cov = jnp.einsum("...ij,...kj->...ik", m, m) + 0.5 * jnp.eye(d)
+        return (x["mean"], cov)
+
+    return lh.amend(fwd), {
+        "mean": nt.ShapeWithDtype((6, d)),
+        "sqrt": nt.ShapeWithDtype((6, d, d)),
+    }
+
+
+def _nd_vc_gaussian_prec(key):
+    d = 2
+    data = random.normal(key, (5, d))
+    lh = nt.NDVariableCovarianceGaussian(data, covariance=False)
+
+    def fwd(x):
+        m = x["sqrt"]
+        prec = jnp.einsum("...ij,...kj->...ik", m, m) + 0.5 * jnp.eye(d)
+        return (x["mean"], prec)
+
+    return lh.amend(fwd), {
+        "mean": nt.ShapeWithDtype((5, d)),
+        "sqrt": nt.ShapeWithDtype((5, d, d)),
+    }
+
+
 @pytest.mark.parametrize(
-    "builder", [_gaussian, _gaussian_weighted, _poisson, _student_t, _vc_gaussian]
+    "builder",
+    [
+        _gaussian,
+        _gaussian_weighted,
+        _poisson,
+        _student_t,
+        _vc_gaussian,
+        _nd_vc_gaussian,
+        _nd_vc_gaussian_prec,
+    ],
 )
 def test_metric_is_lsm_of_rsm(builder):
     key = random.PRNGKey(12)
@@ -80,8 +122,50 @@ def test_metric_is_lsm_of_rsm(builder):
     )
 
 
+def _nd_vc_gaussian(key):
+    d = 3
+    data = random.normal(key, (6, d))
+    lh = nt.NDVariableCovarianceGaussian(data)
+
+    def fwd(x):
+        # symmetric positive-definite covariance from a latent square root
+        m = x["sqrt"]
+        cov = jnp.einsum("...ij,...kj->...ik", m, m) + 0.5 * jnp.eye(d)
+        return (x["mean"], cov)
+
+    return lh.amend(fwd), {
+        "mean": nt.ShapeWithDtype((6, d)),
+        "sqrt": nt.ShapeWithDtype((6, d, d)),
+    }
+
+
+def _nd_vc_gaussian_prec(key):
+    d = 2
+    data = random.normal(key, (5, d))
+    lh = nt.NDVariableCovarianceGaussian(data, covariance=False)
+
+    def fwd(x):
+        m = x["sqrt"]
+        prec = jnp.einsum("...ij,...kj->...ik", m, m) + 0.5 * jnp.eye(d)
+        return (x["mean"], prec)
+
+    return lh.amend(fwd), {
+        "mean": nt.ShapeWithDtype((5, d)),
+        "sqrt": nt.ShapeWithDtype((5, d, d)),
+    }
+
+
 @pytest.mark.parametrize(
-    "builder", [_gaussian, _gaussian_weighted, _poisson, _student_t, _vc_gaussian]
+    "builder",
+    [
+        _gaussian,
+        _gaussian_weighted,
+        _poisson,
+        _student_t,
+        _vc_gaussian,
+        _nd_vc_gaussian,
+        _nd_vc_gaussian_prec,
+    ],
 )
 def test_rsm_is_transpose_of_lsm(builder):
     key = random.PRNGKey(13)

@@ -96,3 +96,119 @@ def test_multihost_helpers_single_host():
     ranges = [host_local_slice(10, count=3, index=i) for i in range(3)]
     assert ranges == [(0, 4), (4, 7), (7, 10)]
     assert host_local_slice(5, count=1, index=0) == (0, 5)
+
+
+# --- integrated field-axis sharding (finalize(field_mesh=...)) ---------------
+
+
+def _build_cf(shape, fm=None, K=None):
+    import nifty_tpu as nt
+
+    cfm = nt.CorrelatedFieldMaker("cf")
+    cfm.set_amplitude_total_offset(0.5, (1e-1, 3e-2))
+    cfm.add_fluctuations(
+        shape, 1.0 / shape[0], (1.0, 0.5), (-3.0, 0.2), (1.0, 0.2),
+        n_mode_knots=K,
+    )
+    return cfm.finalize(field_mesh=fm)
+
+
+@pytest.mark.parametrize("K", [None, 8])
+def test_field_sharded_cf_forward_equality(K):
+    """finalize(field_mesh=...) reproduces the unsharded forward exactly
+    (pencil-FFT Hartley + sharded amplitude expansion)."""
+    mesh = _mesh()
+    p = len(mesh.devices.ravel())
+    shape = (4 * p, 2 * p)
+    cf = _build_cf(shape, K=K)
+    cfs = _build_cf(shape, fm=mesh, K=K)
+    pos = cf.init(random.PRNGKey(0))
+    pos_s = jax.device_put(pos, cfs.position_sharding())
+    out = jax.jit(cfs)(pos_s)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(cf(pos)), atol=1e-12
+    )
+    # the output field is genuinely row-sharded, not gathered
+    assert out.sharding.spec[0] == "fx"
+
+
+def test_field_sharded_cf_3d_forward_equality():
+    mesh = _mesh()
+    p = len(mesh.devices.ravel())
+    shape = (2 * p, p, 4)
+    cf = _build_cf(shape)
+    cfs = _build_cf(shape, fm=mesh)
+    pos = cf.init(random.PRNGKey(4))
+    pos_s = jax.device_put(pos, cfs.position_sharding())
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(cfs)(pos_s)), np.asarray(cf(pos)), atol=1e-12
+    )
+
+
+def test_field_sharded_metric_equality():
+    import nifty_tpu as nt
+
+    mesh = _mesh()
+    p = len(mesh.devices.ravel())
+    shape = (4 * p, 2 * p)
+    cf = _build_cf(shape)
+    cfs = _build_cf(shape, fm=mesh)
+    data = jnp.asarray(
+        np.random.default_rng(0).poisson(1.0, shape).astype(np.int32)
+    )
+    lh = nt.Poissonian(data).amend(nt.ChainModel(jnp.exp, cf))
+    lhs = nt.Poissonian(data).amend(nt.ChainModel(jnp.exp, cfs))
+    pos = cf.init(random.PRNGKey(0))
+    tan = cf.init(random.PRNGKey(1))
+    pos_s = jax.device_put(pos, cfs.position_sharding())
+    tan_s = jax.device_put(tan, cfs.position_sharding())
+    m_ref = lh.metric(pos, tan)
+    m_s = jax.jit(lhs.metric)(pos_s, tan_s)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(m_s), jax.tree_util.tree_leaves(m_ref)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+
+
+def test_field_sharded_optimize_kl_matches_unsharded():
+    """One full VI iteration (sampling + KL Newton-CG) with the field
+    domain-decomposed over the mesh equals the single-device run."""
+    import nifty_tpu as nt
+
+    mesh = _mesh()
+    p = len(mesh.devices.ravel())
+    shape = (4 * p, 2 * p)
+    cf = _build_cf(shape)
+    cfs = _build_cf(shape, fm=mesh)
+    rng = np.random.default_rng(5)
+    pos_true = cf.init(random.PRNGKey(10))
+    data = jnp.asarray(np.asarray(cf(pos_true)) + 0.2 * rng.normal(size=shape))
+
+    def run(model, position_sharding=None):
+        lh = nt.Gaussian(data, noise_std_inv=lambda x: 5.0 * x).amend(model)
+        pos0 = jax.tree_util.tree_map(
+            lambda x: 0.1 * x, model.init(random.PRNGKey(0))
+        )
+        samples, state = nt.optimize_kl(
+            lh,
+            pos0,
+            n_total_iterations=1,
+            n_samples=2,
+            key=random.PRNGKey(42),
+            draw_linear_kwargs=dict(cg_kwargs=dict(absdelta=1e-10, maxiter=100)),
+            kl_kwargs=dict(minimize_kwargs=dict(xtol=1e-8, maxiter=10)),
+            sample_mode="linear_resample",
+            odir=None,
+            position_sharding=position_sharding,
+        )
+        return samples
+
+    s_ref = run(cf)
+    s_shd = run(cfs, position_sharding=cfs.position_sharding())
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_ref.pos),
+        jax.tree_util.tree_leaves(s_shd.pos),
+    ):
+        # iterative solvers accumulate reduction-order fp differences;
+        # after one full VI iteration the positions agree to ~1e-5
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)

@@ -277,3 +277,35 @@ def test_posterior_moments_match_within_mc_error():
     assert np.max(np.abs(m_r - m_o) / scale) < 5.0
     assert abs(m_r.mean() - m_o.mean()) < 0.1 * max(abs(m_r).max(), 1.0)
     assert 0.5 < (s_o.mean() / s_r.mean()) < 2.0
+
+
+def test_nd_variable_covariance_gaussian_parity():
+    """Full-covariance Gaussian: energy/metric/lsm match the reference
+    (ref ``nifty/re/likelihood_impl.py:376``)."""
+    rng = np.random.default_rng(0)
+    n, d = 5, 3
+    data = jnp.asarray(rng.normal(size=(n, d)))
+    for covariance in (True, False):
+        lh_o = nt.NDVariableCovarianceGaussian(data, covariance=covariance)
+        lh_r = jft.NDVariableCovarianceGaussian(data, covariance=covariance)
+        m = rng.normal(size=(n, d, d))
+        mat = jnp.asarray(m @ np.swapaxes(m, -1, -2) + 2 * np.eye(d))
+        mean = jnp.asarray(rng.normal(size=(n, d)))
+        p = (mean, mat)
+        np.testing.assert_allclose(
+            float(lh_o.energy(p)), float(lh_r.energy(p)), rtol=1e-12
+        )
+        tm = jnp.asarray(rng.normal(size=(n, d)))
+        tM = rng.normal(size=(n, d, d))
+        tM = jnp.asarray(tM + np.swapaxes(tM, -1, -2))
+        t = (tm, tM)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(lh_o.metric(p, t)),
+            jax.tree_util.tree_leaves(lh_r.metric(p, t)),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(lh_o.left_sqrt_metric(p, t)),
+            jax.tree_util.tree_leaves(lh_r.left_sqrt_metric(p, t)),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)

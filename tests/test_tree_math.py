@@ -83,3 +83,55 @@ def test_shape_with_dtype():
     z = nt.zeros_like({"a": swd})
     assert z["a"].shape == (2, 3)
     assert z["a"].dtype == jnp.float32
+
+
+def test_tree_linalg_spectral_functions():
+    """sqrtm/logm/inv/solve against dense numpy references, plus the
+    Daleckii–Krein JVP against finite differences."""
+    from nifty_tpu.utils.tree_linalg import (
+        sym_inv, sym_logm, sym_solve, sym_sqrtm,
+    )
+    import scipy.linalg as sl
+
+    rng = np.random.default_rng(0)
+    d = 4
+    A = rng.normal(size=(3, d, d))
+    A = A @ np.swapaxes(A, -1, -2) + 2 * np.eye(d)
+    Aj = jnp.asarray(A)
+
+    S = np.asarray(sym_sqrtm(Aj))
+    for i in range(3):
+        np.testing.assert_allclose(S[i] @ S[i], A[i], atol=1e-10)
+    L = np.asarray(sym_logm(Aj))
+    for i in range(3):
+        np.testing.assert_allclose(L[i], sl.logm(A[i]), atol=1e-9)
+    Iv = np.asarray(sym_inv(Aj))
+    for i in range(3):
+        np.testing.assert_allclose(Iv[i] @ A[i], np.eye(d), atol=1e-10)
+
+    b = jnp.asarray(rng.normal(size=(3, d)))
+    x = np.asarray(sym_solve(Aj, b))
+    for i in range(3):
+        np.testing.assert_allclose(A[i] @ x[i], np.asarray(b)[i], atol=1e-10)
+
+    B = jnp.asarray(rng.normal(size=(3, d, d)))
+    X = np.asarray(sym_solve(Aj, B, matrix_eqn=True))
+    for i in range(3):
+        np.testing.assert_allclose(A[i] @ X[i], np.asarray(B)[i], atol=1e-10)
+
+    # JVP of sqrtm vs finite differences (single matrix)
+    M = jnp.asarray(A[0])
+    dM = rng.normal(size=(d, d))
+    dM = jnp.asarray(dM + dM.T)
+    _, jv = jax.jvp(sym_sqrtm, (M,), (dM,))
+    eps = 1e-6
+    fd = (np.asarray(sym_sqrtm(M + eps * dM)) - np.asarray(sym_sqrtm(M - eps * dM))) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(jv), fd, atol=1e-6)
+
+    # degenerate eigenvalues: JVP stays finite (the Daleckii–Krein limit)
+    Mdeg = jnp.asarray(2.0 * np.eye(d))
+    _, jv2 = jax.jvp(sym_sqrtm, (Mdeg,), (dM,))
+    assert np.isfinite(np.asarray(jv2)).all()
+    np.testing.assert_allclose(
+        np.asarray(jv2), np.asarray(dM) / (2 * np.sqrt(2.0)), atol=1e-10
+    )
