@@ -213,7 +213,7 @@ static const int nb_facearray[][12] = {
     {8, 9, 10, 11, -1, -1, -1, -1, 10, 11, 8, 9},    // S
     {5, 6, 7, 4, 8, 9, 10, 11, 9, 10, 11, 8},        // SE
     {-1, -1, -1, -1, 5, 6, 7, 4, -1, -1, -1, -1},    // E
-    {4, 5, 6, 7, 11, 8, 9, 10, -1, -1, -1, -1},      // NE
+    {4, 5, 6, 7, 11, 8, 9, 10, 11, 8, 9, 10},        // NE
     {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11},          // center
     {1, 2, 3, 0, 0, 1, 2, 3, 5, 6, 7, 4},            // NW
     {-1, -1, -1, -1, 7, 4, 5, 6, -1, -1, -1, -1},    // W

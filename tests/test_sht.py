@@ -197,3 +197,74 @@ def test_gauss_legendre_parseval():
     np.testing.assert_allclose(
         integral, 4 * np.pi * float(jnp.sum(x**2)), rtol=1e-10
     )
+
+
+# --- device-side NEST / neighbors ---------------------------------------------
+
+
+@pytest.mark.parametrize("nside", [1, 2, 4, 8])
+def test_jhealpix_nest_ring_roundtrip(nside):
+    from nifty_tpu.ops import jhealpix as jh
+
+    pix = jnp.arange(12 * nside * nside)
+    nest = jh.ring2nest(nside, pix)
+    back = jh.nest2ring(nside, nest)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(pix))
+    # NEST indices are a permutation of all pixels
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(nest)), np.asarray(pix)
+    )
+
+
+@pytest.mark.parametrize("nside", [2, 4])
+def test_jhealpix_nest_matches_native(nside):
+    from nifty_tpu import native
+    from nifty_tpu.ops import jhealpix as jh
+
+    if not native.native_available():
+        pytest.skip("native healpix library unavailable")
+    pix = np.arange(12 * nside * nside)
+    np.testing.assert_array_equal(
+        np.asarray(jh.ring2nest(nside, pix)), native.ring2nest(nside, pix)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jh.nest2ring(nside, pix)), native.nest2ring(nside, pix)
+    )
+
+
+@pytest.mark.parametrize("nside", [2, 4, 8])
+def test_jhealpix_neighbors_match_native(nside):
+    from nifty_tpu import native
+    from nifty_tpu.ops import jhealpix as jh
+
+    if not native.native_available():
+        pytest.skip("native healpix library unavailable")
+    pix = np.arange(12 * nside * nside)
+    nb_dev = np.asarray(jh.neighbors(nside, pix, nest=True))
+    nb_nat = native.neighbors_nest(nside, pix)
+    np.testing.assert_array_equal(nb_dev, nb_nat)
+
+
+@pytest.mark.parametrize("nside", [2, 4])
+def test_jhealpix_neighbors_ring_consistent(nside):
+    """RING neighbors = NEST neighbors mapped through the conversion."""
+    from nifty_tpu.ops import jhealpix as jh
+
+    pix = jnp.arange(12 * nside * nside)
+    nb_ring = np.asarray(jh.neighbors(nside, pix, nest=False))
+    nest = jh.ring2nest(nside, pix)
+    nb_nest = np.asarray(jh.neighbors(nside, nest, nest=True))
+    # convert nest-neighbor ids to ring ids (guard the -1 sentinels)
+    conv = np.asarray(jh.nest2ring(nside, np.maximum(nb_nest, 0)))
+    conv = np.where(nb_nest < 0, -1, conv)
+    np.testing.assert_array_equal(np.sort(nb_ring, -1), np.sort(conv, -1))
+
+
+def test_jhealpix_neighbors_jit_vmap():
+    from nifty_tpu.ops import jhealpix as jh
+
+    nside = 4
+    pix = jnp.arange(12 * nside * nside)
+    a = jax.jit(lambda p: jh.neighbors(nside, p, nest=True))(pix)
+    b = jax.vmap(lambda p: jh.neighbors(nside, p, nest=True))(pix)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
