@@ -47,6 +47,7 @@ from .likelihood_impl import (
     Bernoulli,
     Categorical,
     Gaussian,
+    InverseGamma,
     NDVariableCovarianceGaussian,
     Poissonian,
     StudentT,
@@ -54,9 +55,18 @@ from .likelihood_impl import (
     VariableCovarianceStudentT,
 )
 from .logger import logger
+from .operator_spectrum import operator_spectrum
 from .probing import StatCalculator, probe_diagonal, probe_with_posterior_samples
 from .minisanity import ChiSqStats, minisanity, reduced_residual_stats
-from .model import ChainModel, Initializer, LazyModel, Model, VModel, WrappedCall
+from .model import (
+    ChainModel,
+    ClipModel,
+    Initializer,
+    LazyModel,
+    Model,
+    VModel,
+    WrappedCall,
+)
 from .models.correlated_field import (
     CorrelatedFieldMaker,
     density_estimator,

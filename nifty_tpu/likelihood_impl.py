@@ -27,6 +27,7 @@ __all__ = [
     "Bernoulli",
     "Categorical",
     "Gaussian",
+    "InverseGamma",
     "NDVariableCovarianceGaussian",
     "Poissonian",
     "StudentT",
@@ -534,4 +535,71 @@ class NDVariableCovarianceGaussian(Likelihood):
             lambda m, r: jnp.einsum("...ij,...j->...i", m, r),
             sym_sqrtm(mat),
             rsdl,
+        )
+
+
+class InverseGamma(Likelihood):
+    """Inverse-gamma likelihood of a (variance-like) positive signal:
+
+        -log p(x) = Σ_i (α_i + 1)·ln x_i + β_i / x_i
+
+    — the energy for inferring a covariance ``x = S_k`` from data
+    ``β = ½|s_k|²`` (reference:
+    ``nifty/cl/operators/energy_operators.py:643`` InverseGammaEnergy).
+    The transformation to Euclidean coordinates is
+    ``T(x) = √(α+1)·ln x`` (exact, elementwise), from which metric and
+    square roots derive: ``metric = diag((α+1)/x²)``.
+    """
+
+    beta: Any = dataclasses.field(metadata=dict(static=False))
+    alpha: Any = dataclasses.field(metadata=dict(static=False), default=None)
+
+    def __init__(self, beta, alpha=-0.5):
+        self.beta = beta
+        self.alpha = tree_map(
+            lambda b: jnp.broadcast_to(jnp.asarray(alpha, jnp.result_type(b)), jnp.shape(b))
+            if jnp.isscalar(alpha) or jnp.ndim(alpha) == 0
+            else jnp.asarray(alpha),
+            beta,
+        )
+        shp = tree_map(ShapeWithDtype.from_leave, beta)
+        super().__init__(domain=shp, lsm_tangents_shape=shp)
+
+    def energy(self, primals):
+        e = tree_map(
+            lambda x, a, b: jnp.sum((a + 1.0) * jnp.log(x) + b / x),
+            primals,
+            self.alpha,
+            self.beta,
+        )
+        return tree_reduce(operator.add, e, 0.0)
+
+    def transformation(self, primals):
+        return tree_map(
+            lambda x, a: jnp.sqrt(a + 1.0) * jnp.log(x), primals, self.alpha
+        )
+
+    def metric(self, primals, tangents):
+        return tree_map(
+            lambda x, a, t: (a + 1.0) / (x * x) * t,
+            primals,
+            self.alpha,
+            tangents,
+        )
+
+    def left_sqrt_metric(self, primals, tangents):
+        return tree_map(
+            lambda x, a, t: jnp.sqrt(a + 1.0) / x * t,
+            primals,
+            self.alpha,
+            tangents,
+        )
+
+    def normalized_residual(self, primals):
+        # standardized coordinates: T(x) shifted by the distribution mode
+        return tree_map(
+            lambda x, a, b: jnp.sqrt(a + 1.0) * (jnp.log(x) - jnp.log(b / (a + 2.0))),
+            primals,
+            self.alpha,
+            self.beta,
         )

