@@ -25,6 +25,7 @@ from functools import partial
 from typing import Any, Callable, Literal, NamedTuple, Optional, Union
 
 import jax
+import numpy as np
 from jax import numpy as jnp
 from jax import random
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
@@ -44,7 +45,7 @@ from .likelihood import (
     partial_insert_and_remove,
 )
 from .logger import logger
-from .minisanity import minisanity
+from .minisanity import minisanity, reduced_residual_stats
 from .utils.pytree_string import hide_strings
 from .utils.tree import Vector, get_map, vdot, zeros_like
 
@@ -464,6 +465,88 @@ class OptimizeVI:
         return samples, state
 
 
+def _plot_history(path, nits, series, *, ylabel, logy=False):
+    """One diagnostic line chart per run artifact (gated on matplotlib).
+
+    `series` is a mapping label → list of per-iteration floats."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:  # pragma: no cover - matplotlib-less environment
+        return
+    fig, ax = plt.subplots(figsize=(7, 4.2), dpi=120)
+    for label, vals in series.items():
+        ax.plot(nits, vals, marker="o", markersize=3, linewidth=1.2, label=label)
+    if logy:
+        ax.set_yscale("log")
+    ax.set_xlabel("iteration")
+    ax.set_ylabel(ylabel)
+    ax.grid(True, alpha=0.25)
+    if len(series) > 1 or next(iter(series), "") != ylabel:
+        ax.legend(fontsize=8, frameon=False)
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+
+
+def _export_history(odir, history):
+    """Write energy- and minisanity-history plots (reference:
+    ``nifty/cl/minimization/optimize_kl.py:528,618``)."""
+    nits = history["nit"]
+    if len(nits) == 0:
+        return
+    e = np.asarray(history["energy"], dtype=float)
+    shift = {}
+    if np.all(np.asarray(e) > 0):
+        _plot_history(
+            os.path.join(odir, "energy_history.png"),
+            nits,
+            {"KL energy": e},
+            ylabel="KL energy",
+            logy=(e.max() / max(e.min(), 1e-30)) > 1e3,
+        )
+    else:
+        _plot_history(
+            os.path.join(odir, "energy_history.png"),
+            nits,
+            {"KL energy": e},
+            ylabel="KL energy",
+        )
+    if history["lh_chisq"]:
+        _plot_history(
+            os.path.join(odir, "minisanity_history.png"),
+            nits,
+            {k: v for k, v in history["lh_chisq"].items()},
+            ylabel="reduced chi² (likelihood residuals)",
+            logy=True,
+        )
+    if history["prior_chisq"]:
+        _plot_history(
+            os.path.join(odir, "minisanity_prior_history.png"),
+            nits,
+            {k: v for k, v in history["prior_chisq"].items()},
+            ylabel="reduced chi² (prior residuals)",
+            logy=True,
+        )
+
+
+def _export_operator_outputs(odir, export_operators, samples, nit):
+    """Posterior mean/std of user operators, one ``.npz`` per operator
+    (reference: ``nifty/cl/minimization/optimize_kl.py:500``)."""
+    opdir = os.path.join(odir, "operator_outputs")
+    os.makedirs(opdir, exist_ok=True)
+    for name, op in export_operators.items():
+        vals = np.stack([np.asarray(op(s)) for s in samples])
+        np.savez(
+            os.path.join(opdir, f"{name}_last.npz"),
+            mean=vals.mean(axis=0),
+            std=vals.std(axis=0),
+            nit=nit,
+        )
+
+
 def optimize_kl(
     likelihood: Likelihood,
     position_or_samples,
@@ -487,6 +570,7 @@ def optimize_kl(
     odir: Optional[str] = None,
     devices: Optional[list] = None,
     position_sharding=None,
+    export_operators: Optional[dict] = None,
     _optimize_vi=None,
     _optimize_vi_state=None,
 ) -> tuple[Samples, OptimizeVIState]:
@@ -558,6 +642,7 @@ def optimize_kl(
             pass
 
     nm = "OPTIMIZE_KL"
+    history = {"nit": [], "energy": [], "lh_chisq": {}, "prior_chisq": {}}
     for i in range(opt_vi_st.nit, opt_vi.n_total_iterations):
         logger.info(f"{nm}: Starting {i + 1:04d}")
         samples, opt_vi_st = opt_vi.update(samples, opt_vi_st)
@@ -566,6 +651,45 @@ def optimize_kl(
         if sanity_fn is not None:
             with open(sanity_fn, "a") as f:
                 f.write("\n" + msg)
+        if odir:
+            history["nit"].append(i + 1)
+            history["energy"].append(
+                float(opt_vi_st.minimization_state.fun)
+            )
+            try:
+                lh_stats = reduced_residual_stats(
+                    samples, opt_vi.likelihood.normalized_residual
+                )
+            except Exception:
+                lh_stats = None
+            pr_stats = reduced_residual_stats(samples)
+            for label, stats, slot in (
+                ("lh", lh_stats, "lh_chisq"),
+                ("prior", pr_stats, "prior_chisq"),
+            ):
+                if stats is None:
+                    continue
+                # one series per ChiSqStats leaf-group
+                def _walk(tree, prefix=""):
+                    if hasattr(tree, "reduced_chisq"):
+                        yield prefix or label, float(
+                            jnp.atleast_1d(tree.reduced_chisq)[0]
+                        )
+                        return
+                    if isinstance(tree, dict):
+                        for k, v in tree.items():
+                            yield from _walk(v, f"{prefix}{k}" if not prefix else f"{prefix}/{k}")
+                        return
+                    if isinstance(tree, (list, tuple)):
+                        for j, v in enumerate(tree):
+                            yield from _walk(v, f"{prefix}[{j}]")
+                        return
+
+                for key_name, val in _walk(stats):
+                    history[slot].setdefault(key_name, []).append(val)
+            _export_history(odir, history)
+            if export_operators:
+                _export_operator_outputs(odir, export_operators, samples, i + 1)
         if last_fn is not None:
             with open(last_fn, "wb") as f:
                 pickle.dump((samples, opt_vi_st._replace(config={})), f)

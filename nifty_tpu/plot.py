@@ -16,7 +16,7 @@ import numpy as np
 
 from .ops.sht import healpix_ring_geometry
 
-__all__ = ["Plot", "mollweide_grid_from_healpix"]
+__all__ = ["Plot", "mollweide_grid_from_healpix", "rgb_from_spectral_cube"]
 
 
 def _ring_pixel_angles(nside):
@@ -137,6 +137,14 @@ class Plot:
             elif arrs[0].ndim == 2:
                 im = ax.imshow(arrs[0].T, origin="lower", **kw)
                 plt.colorbar(im, ax=ax, shrink=0.7)
+            elif arrs[0].ndim == 3:
+                # multifrequency cube → colorimetric RGB panel
+                ax.imshow(
+                    np.transpose(rgb_from_spectral_cube(arrs[0]), (1, 0, 2)),
+                    origin="lower",
+                    **kw,
+                )
+                ax.set_axis_off()
             else:
                 raise ValueError(f"cannot plot array of ndim {arrs[0].ndim}")
         if title:
@@ -184,3 +192,77 @@ class Plot:
             plt.show()
         plt.close(fig)
         self._panels = []
+
+
+# --- multifrequency RGB rendering ---------------------------------------------
+#
+# Published colorimetry: CIE-1931 2° color-matching functions (380–780 nm,
+# 5 nm steps) and the sRGB/D65 conversion matrix.  A spectral cube
+# (nfreq, ny, nx) is integrated against the matching functions and gamma-
+# encoded — the physically-motivated false-color view of multifrequency
+# sky reconstructions (reference behavior: ``nifty/cl/plot.py:64``).
+
+# CIE 1931 standard observer, coarse 81-sample tabulation (x̄, ȳ, z̄)
+_CIE_LAMBDA = np.linspace(380.0, 780.0, 81)
+
+
+def _cie_xyz_bar():
+    # Analytic multi-lobe Gaussian fits to the CIE 1931 color-matching
+    # functions (Wyman, Sloan & Shirley 2013, JCGT 2:2) — accurate to ~1%
+    # and free of large embedded tables.
+    lam = _CIE_LAMBDA
+
+    def g(x, mu, s1, s2):
+        s = np.where(x < mu, s1, s2)
+        return np.exp(-0.5 * ((x - mu) / s) ** 2)
+
+    xbar = (
+        1.056 * g(lam, 599.8, 37.9, 31.0)
+        + 0.362 * g(lam, 442.0, 16.0, 26.7)
+        - 0.065 * g(lam, 501.1, 20.4, 26.2)
+    )
+    ybar = 0.821 * g(lam, 568.8, 46.9, 40.5) + 0.286 * g(lam, 530.9, 16.3, 31.1)
+    zbar = 1.217 * g(lam, 437.0, 11.8, 36.0) + 0.681 * g(lam, 459.0, 26.0, 13.8)
+    return np.stack([xbar, ybar, zbar])
+
+
+_SRGB_D65 = np.array(
+    [
+        [3.2404542, -1.5371385, -0.4985314],
+        [-0.9692660, 1.8760108, 0.0415560],
+        [0.0556434, -0.2040259, 1.0572252],
+    ]
+)
+
+
+def rgb_from_spectral_cube(cube):
+    """Map a spectral cube ``(nfreq, ny, nx)`` to an sRGB image
+    ``(ny, nx, 3)`` in [0, 1].
+
+    Channels are spread uniformly over the visible band, integrated
+    against the CIE-1931 matching functions, converted XYZ→linear sRGB
+    (D65), normalized to the cube's peak luminance, and gamma-encoded.
+    """
+    cube = np.asarray(cube, dtype=np.float64)
+    if cube.ndim != 3:
+        raise ValueError("expected a (nfreq, ny, nx) spectral cube")
+    nfreq = cube.shape[0]
+    xyz_bar = _cie_xyz_bar()  # (3, 81)
+    # resample the matching functions onto the cube's channels
+    pos = np.linspace(0.0, _CIE_LAMBDA.size - 1.0, nfreq)
+    lo = np.floor(pos).astype(int)
+    hi = np.minimum(lo + 1, _CIE_LAMBDA.size - 1)
+    w = pos - lo
+    cmf = (1.0 - w) * xyz_bar[:, lo] + w * xyz_bar[:, hi]  # (3, nfreq)
+    cmf /= np.sum(cmf[1])  # normalize luminance response
+
+    xyz = np.tensordot(cmf, np.maximum(cube, 0.0), axes=1)  # (3, ny, nx)
+    rgb = np.tensordot(_SRGB_D65, xyz, axes=1)
+    rgb = np.maximum(rgb, 0.0)
+    peak = rgb.max()
+    if peak > 0:
+        rgb = rgb / peak
+    # sRGB gamma encode
+    lin = rgb <= 0.0031308
+    rgb = np.where(lin, 12.92 * rgb, 1.055 * np.maximum(rgb, 1e-12) ** (1 / 2.4) - 0.055)
+    return np.clip(np.moveaxis(rgb, 0, -1), 0.0, 1.0)

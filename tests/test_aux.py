@@ -294,3 +294,25 @@ def test_density_estimator():
     out = model(p)
     assert out.shape == pshape
     assert np.all(np.asarray(out) > 0)  # a density
+
+
+def test_rgb_from_spectral_cube_and_plot():
+    from nifty_tpu.plot import Plot, rgb_from_spectral_cube
+
+    rng = np.random.default_rng(0)
+    cube = rng.random((9, 12, 10))
+    img = rgb_from_spectral_cube(cube)
+    assert img.shape == (12, 10, 3)
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    # a flat white spectrum maps to a gray-ish pixel (all channels close)
+    flat = np.ones((9, 2, 2))
+    g = rgb_from_spectral_cube(flat)
+    assert np.abs(g - g.mean(-1, keepdims=True)).max() < 0.25
+    # a cube panel renders through Plot without error
+    import tempfile, os
+
+    p = Plot()
+    p.add(cube, title="mf sky")
+    with tempfile.TemporaryDirectory() as d:
+        p.output(name=os.path.join(d, "mf.png"))
+        assert os.path.exists(os.path.join(d, "mf.png"))
