@@ -15,3 +15,4 @@ from .stats_distributions import (
     normal_prior,
     uniform_prior,
 )
+from .unique import amend_unique, amend_unique_, unique

@@ -316,3 +316,35 @@ def test_rgb_from_spectral_cube_and_plot():
     with tempfile.TemporaryDirectory() as d:
         p.output(name=os.path.join(d, "mf.png"))
         assert os.path.exists(os.path.join(d, "mf.png"))
+
+
+def test_unique_and_amend_unique():
+    from nifty_tpu.num.unique import amend_unique, amend_unique_, unique
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(3, 4))
+    # stack with exact and near duplicates along the last axis
+    cols = [base[:, 0], base[:, 1], base[:, 0] + 1e-12, base[:, 2],
+            base[:, 1] * (1 + 1e-9), base[:, 3]]
+    ar = np.stack(cols, axis=-1)
+    u, inv = unique(ar, return_inverse=True, axis=-1)
+    assert u.shape[-1] == 4
+    np.testing.assert_array_equal(inv, [0, 1, 0, 2, 1, 3])
+    np.testing.assert_allclose(np.take(u, inv, axis=-1), ar, atol=1e-8)
+
+    # amend: duplicate is absorbed, new element appended
+    ar2, idx = amend_unique(u, base[:, 1], axis=-1)
+    assert idx == 1 and ar2.shape == u.shape
+    new = rng.normal(size=3)
+    ar3, idx3 = amend_unique(u, new, axis=-1)
+    assert idx3 == 4 and ar3.shape[-1] == 5
+
+    # traced fixed-capacity variant
+    import jax.numpy as jnp
+
+    buf = jnp.full((3, 8), jnp.nan)
+    buf, i0 = amend_unique_(buf, jnp.asarray(base[:, 0]), axis=-1)
+    buf, i1 = amend_unique_(buf, jnp.asarray(base[:, 1]), axis=-1)
+    buf, i2 = amend_unique_(buf, jnp.asarray(base[:, 0]), axis=-1)
+    assert (int(i0), int(i1), int(i2)) == (0, 1, 0)
+    np.testing.assert_allclose(np.asarray(buf[:, 0]), base[:, 0])
