@@ -405,3 +405,24 @@ def test_sphere_radius_broken_log_radial():
     out = jax.jit(f)(p)
     assert out.shape == grid.shapes[-1]
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize("ndim", [1, 2, 3])
+def test_isotropic_power_spectrum_transform_gaussian_pair(ndim):
+    """Gaussian spectrum ↔ Gaussian covariance closed-form pair:
+    P(k) = exp(-σ²k²/2)  ⇒  Cov(r) = (2πσ²)^{-d/2} exp(-r²/(2σ²))."""
+    from nifty_tpu.multi_grid.matern import IsotropicPowerSpectrumTransform
+
+    sigma = 0.7
+    tr = IsotropicPowerSpectrumTransform(ndim, n_nodes=4096, k_max=1e3)
+    r = jnp.asarray(np.linspace(0.05, 3.0, 12))
+    cov = np.asarray(tr(lambda k: jnp.exp(-0.5 * sigma**2 * k**2), r))
+    expect = (2 * np.pi * sigma**2) ** (-ndim / 2) * np.exp(
+        -np.asarray(r) ** 2 / (2 * sigma**2)
+    )
+    np.testing.assert_allclose(cov, expect, rtol=2e-3, atol=1e-6)
+    # differentiable through spectrum parameters
+    g = jax.grad(
+        lambda s: tr(lambda k: jnp.exp(-0.5 * s**2 * k**2), r).sum()
+    )(sigma)
+    assert np.isfinite(float(g))
