@@ -348,3 +348,23 @@ def test_unique_and_amend_unique():
     buf, i2 = amend_unique_(buf, jnp.asarray(base[:, 0]), axis=-1)
     assert (int(i0), int(i1), int(i2)) == (0, 1, 0)
     np.testing.assert_allclose(np.asarray(buf[:, 0]), base[:, 0])
+
+
+def test_profiling_sugar():
+    from nifty_tpu.profiling import CountingCall, cost_analysis, exec_time
+
+    f = lambda x: jnp.sum(jnp.exp(x) ** 2)
+    x = jnp.ones((32, 32))
+    t = exec_time(f, x, n=1, verbose=False)
+    assert set(t) == {"compile", "forward", "jvp", "vjp"}
+    assert all(v > 0 for v in t.values())
+
+    ca = cost_analysis(f, x)
+    assert ca["flops"] > 0
+
+    inner = CountingCall(jnp.exp, name="exp")
+    g = lambda x: jnp.sum(inner(x) ** 2)
+    _ = jax.jit(g)(x)
+    assert inner.n_apply == 1
+    _ = jax.jit(jax.value_and_grad(g))(x)
+    assert inner.n_jvp + inner.n_apply >= 2
