@@ -20,7 +20,11 @@ from jax import random
 from .likelihood import Likelihood
 from .utils.tree import random_like, vdot
 
+from contextlib import contextmanager
+
 __all__ = [
+    "check_no_host_transfers",
+    "no_host_transfers",
     "assert_allclose",
     "check_linear_model",
     "check_model_jacobian",
@@ -120,3 +124,36 @@ def check_likelihood_metrics(lh: Likelihood, pos, key, *, rtol=1e-6, atol=1e-9):
     np.testing.assert_allclose(
         np.asarray(lhs), np.asarray(rhs), rtol=rtol, atol=atol
     )
+
+
+@contextmanager
+def no_host_transfers(level: str = "disallow"):
+    """Sanitizer context: fail (or log) on implicit host↔device transfers.
+
+    The TPU analogue of the reference's device-copy guards
+    (``nifty/cl/any_array.py:48`` `assert_no_device_copies` and the
+    ``fail_on_device_copy`` config flag): inside the context, any
+    implicit transfer — a numpy coercion of a device array, an implicit
+    host-constant upload inside dispatch — raises (``"disallow"``) or
+    logs (``"log"``).  Explicit ``jax.device_put``/``np.asarray`` remain
+    allowed with ``"disallow"``; use ``"disallow_explicit"`` to forbid
+    those too.
+
+    Usage::
+
+        with no_host_transfers():
+            samples, state = optimize_kl(...)
+    """
+    allowed = {"allow", "log", "disallow", "log_explicit", "disallow_explicit"}
+    if level not in allowed:
+        raise ValueError(f"level must be one of {sorted(allowed)}")
+    with jax.transfer_guard(level):
+        yield
+
+
+def check_no_host_transfers(fn, *args, **kwargs):
+    """Run ``fn(*args, **kwargs)`` under :func:`no_host_transfers` and
+    block on the result — a one-call purity check for jitted pipelines."""
+    with no_host_transfers():
+        out = fn(*args, **kwargs)
+        return jax.block_until_ready(out)

@@ -368,3 +368,16 @@ def test_profiling_sugar():
     assert inner.n_apply == 1
     _ = jax.jit(jax.value_and_grad(g))(x)
     assert inner.n_jvp + inner.n_apply >= 2
+
+
+def test_no_host_transfers_guard():
+    from nifty_tpu.extra import check_no_host_transfers, no_host_transfers
+
+    x = jnp.ones(4)
+    f = jax.jit(lambda x: x * 2)
+    f(x)  # compile outside the guard
+    np.testing.assert_allclose(np.asarray(check_no_host_transfers(f, x)), 2.0)
+    # an implicit device→host coercion trips the guard
+    with pytest.raises(Exception):
+        with no_host_transfers():
+            float(f(x))  # noqa: B018 — implicit transfer
