@@ -22,6 +22,8 @@ from typing import Tuple
 import jax
 import numpy as np
 from jax import numpy as jnp
+
+from ..model import Model
 from jax.scipy.special import i0
 
 __all__ = ["nufft2", "nufft1", "nufft_adjoint"]
@@ -33,10 +35,17 @@ def _kb_beta(m: int, sigma: float) -> float:
 
 
 def _kb_kernel(u, m: int, beta: float):
-    """Kaiser–Bessel window on |u| <= m/2 (u in oversampled-bin units)."""
+    """Kaiser–Bessel window on |u| <= m/2 (u in oversampled-bin units).
+
+    The sqrt argument is masked with the double-`where` pattern so the
+    gradient w.r.t. `u` stays finite at the window edge t → 0 (positions
+    exactly on FFT bins hit it, e.g. `ShiftedPositionFFT` at zero shift).
+    """
     t = 1.0 - (2.0 * u / m) ** 2
-    val = i0(beta * jnp.sqrt(jnp.maximum(t, 0.0)))
-    return jnp.where(t >= 0.0, val, 0.0) / float(np.i0(beta))
+    inside = t > 0.0
+    t_safe = jnp.where(inside, t, 1.0)
+    val = i0(beta * jnp.sqrt(t_safe))
+    return jnp.where(inside, val, 0.0) / float(np.i0(beta))
 
 
 def _kb_apodization(xi, m: int, beta: float):
@@ -133,3 +142,124 @@ def nufft_adjoint(
 
 
 nufft1 = nufft_adjoint
+
+
+class VariablePositionNufft(Model):
+    """Type-2 NUFFT with the sampling positions as *inputs*: evaluates the
+    field's Fourier transform at arbitrary, possibly learned, positions —
+    differentiable in both the grid values and the coordinates (the
+    response class for self-calibrating interferometry-style instruments;
+    reference: ``nifty/cl/library/nft.py:144``).
+
+    Domain: ``{prefix+"grid": grid_shape, prefix+"coord": (ndim, npoints)}``
+    (coordinates in cycles per pixel).  Returns the complex visibilities
+    of shape ``(npoints,)``.
+    """
+
+    def __init__(
+        self,
+        grid_shape,
+        npoints: int,
+        *,
+        oversampling: float = 2.0,
+        kernel_width: int = 6,
+        prefix: str = "nufft",
+    ):
+        from ..utils.tree import ShapeWithDtype, random_like
+        from functools import partial as _partial
+
+        self.grid_shape = tuple(int(s) for s in grid_shape)
+        self.npoints = int(npoints)
+        self.oversampling = float(oversampling)
+        self.kernel_width = int(kernel_width)
+        self._k_grid = prefix + "grid"
+        self._k_coord = prefix + "coord"
+        ndim = len(self.grid_shape)
+        domain = {
+            self._k_grid: ShapeWithDtype(self.grid_shape),
+            self._k_coord: ShapeWithDtype((ndim, self.npoints)),
+        }
+        init = {k: _partial(random_like, primals=v) for k, v in domain.items()}
+        super().__init__(domain=domain, init=init)
+
+    def __call__(self, x):
+        return nufft2(
+            x[self._k_grid],
+            x[self._k_coord],
+            oversampling=self.oversampling,
+            kernel_width=self.kernel_width,
+        )
+
+
+class ShiftedPositionFFT(Model):
+    """FFT on a regular grid whose sampling positions may be perturbed:
+    the NUFFT is evaluated at the standard FFT frequencies plus learned
+    per-mode shifts ``delta`` in units of the frequency spacing — 0
+    reproduces the plain FFT, fractional values interpolate between FFT
+    frequencies (reference: ``nifty/cl/library/nft.py:289``).
+
+    Domain: ``{prefix+"grid": grid_shape,
+    prefix+"delta_coord": (n_shift_dirs,) + grid_shape}``; output has the
+    grid shape (complex).
+    """
+
+    def __init__(
+        self,
+        grid_shape,
+        *,
+        shift_directions=None,
+        oversampling: float = 2.0,
+        kernel_width: int = 6,
+        prefix: str = "spfft",
+    ):
+        from ..utils.tree import ShapeWithDtype, random_like
+        from functools import partial as _partial
+
+        self.grid_shape = tuple(int(s) for s in grid_shape)
+        ndim = len(self.grid_shape)
+        if shift_directions is None:
+            shift_directions = tuple(range(ndim))
+        elif isinstance(shift_directions, int):
+            shift_directions = (shift_directions,)
+        self.shift_directions = tuple(sorted(set(int(d) for d in shift_directions)))
+        if any(d < 0 or d >= ndim for d in self.shift_directions):
+            raise ValueError("shift_directions out of range")
+        self.oversampling = float(oversampling)
+        self.kernel_width = int(kernel_width)
+        self._k_grid = prefix + "grid"
+        self._k_delta = prefix + "delta_coord"
+        domain = {
+            self._k_grid: ShapeWithDtype(self.grid_shape),
+            self._k_delta: ShapeWithDtype(
+                (len(self.shift_directions),) + self.grid_shape
+            ),
+        }
+        init = {k: _partial(random_like, primals=v) for k, v in domain.items()}
+        # base FFT frequencies in cycles/pixel, flattened (ndim, N)
+        freqs = np.meshgrid(
+            *[np.fft.fftfreq(n) for n in self.grid_shape], indexing="ij"
+        )
+        self._base = np.stack([f.ravel() for f in freqs])
+        # frequency spacing per axis (one FFT bin, cycles/pixel)
+        self._df = np.array([1.0 / n for n in self.grid_shape])
+        super().__init__(domain=domain, init=init)
+
+    def __call__(self, x):
+        delta = x[self._k_delta].reshape(len(self.shift_directions), -1)
+        coords = jnp.asarray(self._base)
+        for i, d in enumerate(self.shift_directions):
+            coords = coords.at[d].add(self._df[d] * delta[i])
+        vis = nufft2(
+            x[self._k_grid],
+            coords,
+            oversampling=self.oversampling,
+            kernel_width=self.kernel_width,
+        )
+        # nufft2 uses centered pixel indices (j − n//2); re-phase so that
+        # delta = 0 reproduces the standard (corner-origin) FFT exactly
+        shift = sum(
+            coords[d] * (self.grid_shape[d] // 2)
+            for d in range(len(self.grid_shape))
+        )
+        vis = vis * jnp.exp(-2j * jnp.pi * shift)
+        return vis.reshape(self.grid_shape)

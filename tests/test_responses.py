@@ -157,3 +157,50 @@ def test_nufft_differentiable_in_coords():
     c_m = coords.at[0, 1].add(-eps)
     fd = (loss(c_p) - loss(c_m)) / (2 * eps)
     np.testing.assert_allclose(float(g[0, 1]), float(fd), rtol=1e-4)
+
+
+def test_shifted_position_fft_zero_shift_is_fft():
+    from nifty_tpu.ops.nufft import ShiftedPositionFFT
+
+    m = ShiftedPositionFFT((8, 6))
+    g = jnp.asarray(np.random.default_rng(0).normal(size=(8, 6)))
+    x = {"spfftgrid": g, "spfftdelta_coord": jnp.zeros((2, 8, 6))}
+    out = np.asarray(m(x))
+    ref = np.fft.fftn(np.asarray(g))
+    np.testing.assert_allclose(out, ref, atol=2e-5 * np.abs(ref).max())
+    # a one-bin shift along axis 0 lands on the neighboring FFT frequency
+    x1 = {"spfftgrid": g, "spfftdelta_coord": jnp.zeros((2, 8, 6)).at[0].set(1.0)}
+    out1 = np.asarray(m(x1))
+    np.testing.assert_allclose(
+        out1, np.roll(ref, -1, axis=0), atol=5e-5 * np.abs(ref).max()
+    )
+    # differentiable in the shifts
+    gr = jax.grad(
+        lambda d: jnp.sum(
+            jnp.abs(m({"spfftgrid": g, "spfftdelta_coord": d})) ** 2
+        )
+    )(jnp.zeros((2, 8, 6)))
+    assert bool(jnp.isfinite(gr).all())
+
+
+def test_variable_position_nufft_model():
+    from nifty_tpu.ops.nufft import VariablePositionNufft
+    from jax import random
+
+    vp = VariablePositionNufft((16, 16), npoints=12)
+    assert set(vp.domain) == {"nufftgrid", "nufftcoord"}
+    g = jnp.asarray(np.random.default_rng(2).normal(size=(16, 16)))
+    coords = np.random.default_rng(3).uniform(-0.4, 0.4, size=(2, 12))
+    vis = np.asarray(vp({"nufftgrid": g, "nufftcoord": jnp.asarray(coords)}))
+    # centered-index direct DFT (the nufft2 convention)
+    ii, jj = np.meshgrid(np.arange(16) - 8, np.arange(16) - 8, indexing="ij")
+    bf = np.array(
+        [
+            np.sum(np.asarray(g) * np.exp(-2j * np.pi * (c0 * ii + c1 * jj)))
+            for c0, c1 in coords.T
+        ]
+    )
+    np.testing.assert_allclose(vis, bf, atol=5e-5 * np.abs(bf).max())
+    # init produces the right tree
+    p = vp.init(random.PRNGKey(0))
+    assert p["nufftcoord"].shape == (2, 12)
