@@ -381,3 +381,36 @@ def test_no_host_transfers_guard():
     with pytest.raises(Exception):
         with no_host_transfers():
             float(f(x))  # noqa: B018 — implicit transfer
+
+
+def test_mxu_fftn_matches_xla():
+    from nifty_tpu import config as cfg
+    from nifty_tpu.ops.fft import hartley, mxu_fftn
+
+    rng = np.random.default_rng(0)
+    for shape in [(24,), (40, 36), (12, 15, 8)]:
+        x = rng.normal(size=shape)
+        ref = np.fft.fftn(x)
+        out = np.asarray(mxu_fftn(jnp.asarray(x)))
+        np.testing.assert_allclose(out, ref, atol=1e-12 * np.abs(ref).max())
+        inv = np.asarray(mxu_fftn(jnp.asarray(ref), inverse=True))
+        np.testing.assert_allclose(inv, x, atol=1e-12)
+    # forced-impl agreement of hartley + config validation
+    x = jnp.asarray(rng.normal(size=(40, 36)))
+    cfg.update("fft_impl", "matmul")
+    h1 = np.asarray(hartley(x))
+    cfg.update("fft_impl", "xla")
+    h2 = np.asarray(hartley(x))
+    cfg.update("fft_impl", "auto")
+    np.testing.assert_allclose(h1, h2, atol=1e-10)
+    with pytest.raises(KeyError):
+        cfg.update("nope", 1)
+    with pytest.raises(ValueError):
+        cfg.update("fft_impl", "bogus")
+    # gradients flow through the matmul path
+    cfg.update("fft_impl", "matmul")
+    try:
+        g = jax.grad(lambda z: jnp.sum(hartley(z) ** 2))(x)
+        assert bool(jnp.isfinite(g).all())
+    finally:
+        cfg.update("fft_impl", "auto")
