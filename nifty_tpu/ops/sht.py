@@ -36,6 +36,7 @@ from jax import numpy as jnp
 from jax import vmap
 
 __all__ = [
+    "healpix_analysis",
     "gauss_legendre_analysis",
     "gauss_legendre_grid",
     "gauss_legendre_synthesis",
@@ -392,3 +393,54 @@ def gauss_legendre_analysis(f, lmax: int, mmax=None):
     sel_im = msk_im > 0
     out = out.at[idx_im[sel_im]].set(c_im[sel_im])
     return out
+
+
+def healpix_analysis(
+    m, nside: int, lmax=None, mmax=None, *, iterations: int = 3
+):
+    """Spherical-harmonic *analysis* (map → real-alm packing), the inverse
+    of :func:`healpix_synthesis`.
+
+    HEALPix is equal-area but not an exact quadrature grid, so the
+    weighted adjoint ``(4π/npix)·Sᵀ`` is only approximate and plain
+    Jacobi refinement diverges for the poorly-sampled modes near lmax.
+    Instead the normal equations ``SᵀS·alm = Sᵀm`` are solved with
+    `iterations` steps of (static, jittable) conjugate gradient — the
+    least-squares alm, exact for maps in the synthesis range.  Everything
+    is built from the same Legendre-recurrence matmuls — on-device,
+    differentiable, transposable.
+    """
+    import jax
+
+    from ..conjugate_gradient import static_cg
+
+    nside = int(nside)
+    lmax = 2 * nside if lmax is None else int(lmax)
+    mmax = lmax if mmax is None else int(mmax)
+    npix = 12 * nside * nside
+    w = 4.0 * np.pi / npix
+
+    def synth(alm):
+        return healpix_synthesis(alm, nside, lmax=lmax, mmax=mmax)
+
+    size = (lmax + 1) ** 2 - (lmax - mmax) * (lmax - mmax + 1)
+    proto = jax.ShapeDtypeStruct((size,), m.dtype)
+    adjoint = jax.linear_transpose(synth, proto)
+
+    def wadj(x):
+        (alm,) = adjoint(x)
+        return w * alm
+
+    def normal_op(alm):
+        return wadj(synth(alm))
+
+    b = wadj(m)
+    res = static_cg(
+        normal_op,
+        b,
+        x0=b,
+        maxiter=max(int(iterations), 1) * 10,
+        resnorm=1e-6 * jnp.linalg.norm(b),
+        miniter=2,
+    )
+    return res.x

@@ -268,3 +268,22 @@ def test_jhealpix_neighbors_jit_vmap():
     a = jax.jit(lambda p: jh.neighbors(nside, p, nest=True))(pix)
     b = jax.vmap(lambda p: jh.neighbors(nside, p, nest=True))(pix)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("nside", [4, 8])
+def test_healpix_analysis_inverts_synthesis(nside):
+    from nifty_tpu.ops.sht import healpix_analysis, healpix_synthesis
+
+    lmax = 2 * nside
+    n_alm = (lmax + 1) ** 2
+    alm = jnp.asarray(np.random.default_rng(0).normal(size=(n_alm,)))
+    m = healpix_synthesis(alm, nside, lmax=lmax, mmax=lmax)
+    rec = healpix_analysis(m, nside, lmax=lmax, mmax=lmax, iterations=8)
+    err = np.abs(np.asarray(rec) - np.asarray(alm)).max() / np.abs(
+        np.asarray(alm)
+    ).max()
+    assert err < 2e-2
+    # refinement converges: more iterations, smaller error
+    rec1 = healpix_analysis(m, nside, lmax=lmax, mmax=lmax, iterations=1)
+    err1 = np.abs(np.asarray(rec1) - np.asarray(alm)).max()
+    assert err < err1
