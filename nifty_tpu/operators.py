@@ -348,6 +348,9 @@ def func_convolution(shape: Sequence[int], distances, func: Callable):
     kern_f = jnp.asarray(np.fft.rfftn(kern))
 
     def apply(x):
+        if jnp.iscomplexobj(x):
+            # the kernel is real: convolve real and imag parts separately
+            return apply(x.real) + 1j * apply(x.imag)
         return jnp.fft.irfftn(jnp.fft.rfftn(x) * kern_f, s=shape)
 
     return apply

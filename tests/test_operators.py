@@ -54,12 +54,23 @@ LINEAR_CASES = [
 ]
 
 
+@pytest.mark.parametrize("dtype", [np.float64, np.float32, np.complex128])
 @pytest.mark.parametrize(
     "fn,shape", [(f, s) for _, f, s in LINEAR_CASES],
     ids=[n for n, _, _ in LINEAR_CASES],
 )
-def test_linear_and_adjoint(fn, shape):
-    check_linear_model(fn, _dom(shape), random.PRNGKey(42))
+def test_linear_and_adjoint(fn, shape, dtype):
+    """Adjointness/linearity swept over operator × dtype (the reference's
+    `test_adjoint.py` grid, incl. complex inputs)."""
+    tol = 1e-4 if dtype == np.float32 else 1e-6
+    try:
+        check_linear_model(
+            fn, _dom(shape, dtype), random.PRNGKey(42), rtol=tol, atol=tol
+        )
+    except TypeError:
+        if dtype is not np.complex128:
+            raise
+        pytest.skip("operator is real-only")
 
 
 def test_mask_roundtrip():
