@@ -55,6 +55,7 @@ from .likelihood_impl import (
     VariableCovarianceStudentT,
 )
 from .logger import logger
+from .adjust_variances import adjust_variances
 from .operator_spectrum import operator_spectrum
 from .probing import StatCalculator, probe_diagonal, probe_with_posterior_samples
 from .minisanity import ChiSqStats, minisanity, reduced_residual_stats

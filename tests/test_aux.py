@@ -414,3 +414,26 @@ def test_mxu_fftn_matches_xla():
         assert bool(jnp.isfinite(g).all())
     finally:
         cfg.update("fft_impl", "auto")
+
+
+def test_adjust_variances_rebalances_xi():
+    from nifty_tpu.adjust_variances import adjust_variances
+
+    rng = np.random.default_rng(0)
+    n = 64
+    # amplitude model: scalar log-amplitude per position
+    def amplitude(p):
+        return jnp.exp(p["loga"]) * jnp.ones(n)
+
+    # start with an overscaled xi (std 5) and tiny amplitude: the
+    # adjustment should absorb the scale into `loga`
+    pos = {"loga": jnp.asarray(0.0), "xi": jnp.asarray(5.0 * rng.normal(size=n))}
+    phi0 = np.asarray(amplitude(pos) * pos["xi"])
+    new = adjust_variances(pos, amplitude, "xi")
+    phi1 = np.asarray(amplitude(new) * new["xi"])
+    np.testing.assert_allclose(phi1, phi0, rtol=1e-10)
+    # xi is now closer to unit variance, amplitude grew
+    assert abs(float(jnp.std(new["xi"])) - 1.0) < abs(
+        float(jnp.std(pos["xi"])) - 1.0
+    )
+    assert float(new["loga"]) > 0.5
