@@ -36,18 +36,27 @@ __all__ = [
 ]
 
 
+def _local_fft(y, axes, inverse):
+    """Local FFT along `axes`, routed through the MXU matmul FFT where the
+    size-based dispatch prefers it (see ``ops.fft``)."""
+    from ..ops.fft import _use_mxu, mxu_fftn
+
+    if _use_mxu(y.shape, axes):
+        return mxu_fftn(y, axes=axes, inverse=inverse)
+    fft = jnp.fft.ifftn if inverse else jnp.fft.fftn
+    return fft(y, axes=axes)
+
+
 def _fftn_local(x_block, axis_name: str, *, inverse: bool = False):
     """shard_map body: `x_block` is the local (n0/p, n1, …) pencil."""
-    fft = jnp.fft.ifft if inverse else jnp.fft.fft
-    fftn = jnp.fft.ifftn if inverse else jnp.fft.fftn
     y = x_block
     if x_block.ndim > 1:
         # FFT along the locally-complete trailing axes
-        y = fftn(y, axes=tuple(range(1, x_block.ndim)))
+        y = _local_fft(y, tuple(range(1, x_block.ndim)), inverse)
     # transpose pencils: (n0/p, n1, …) → (n0, n1/p, …)
     y = lax.all_to_all(y, axis_name, split_axis=1, concat_axis=0, tiled=True)
     # FFT along the now locally-complete leading axis
-    y = fft(y, axis=0)
+    y = _local_fft(y, (0,), inverse)
     # transpose back to leading-axis pencils
     return lax.all_to_all(y, axis_name, split_axis=0, concat_axis=1, tiled=True)
 
