@@ -339,3 +339,28 @@ def test_pwl_features_primitive_transforms():
         (tx,),
     )[1]
     np.testing.assert_allclose(np.asarray(jx1), np.asarray(jx2), atol=1e-12)
+
+
+def test_vmodel_multifrequency_shared_spectrum():
+    """dofdex-style multifrequency batching (reference
+    ``nifty/cl/library/correlated_fields.py:659``): VModel over the
+    excitations only gives n_freq bands with independent realizations but
+    one shared learned spectrum."""
+    cfm = nt.CorrelatedFieldMaker("cf")
+    cfm.set_amplitude_total_offset(0.0, (1e-1, 3e-2))
+    cfm.add_fluctuations((24, 24), 1.0 / 24, (1.0, 0.5), (-3.0, 0.2), (1.0, 0.2))
+    cf = cfm.finalize()
+    nfreq = 5
+    mf = nt.VModel(cf, nfreq, in_axes=["cfxi"])
+    pos = mf.init(random.PRNGKey(0))
+    assert pos["cfxi"].shape == (nfreq, 24, 24)
+    assert pos["cfspectrum"].shape == (81, 2)  # shared
+    out = mf(pos)
+    assert out.shape == (nfreq, 24, 24)
+    f = np.asarray(out)
+    assert np.abs(f[0] - f[1]).max() > 1e-3  # independent realizations
+    # a multifrequency cube renders as an RGB panel
+    from nifty_tpu.plot import rgb_from_spectral_cube
+
+    img = rgb_from_spectral_cube(np.exp(f))
+    assert img.shape == (24, 24, 3)
