@@ -36,7 +36,6 @@ _T0 = time.time()
 SIZES = [
     ((1280, 1280), 1.5, None),
     ((1280, 1280), 1.5, 64),
-    ((4096, 4096), 12.0, None),
     ((4096, 4096), 12.0, 64),
     ((10240, 10240), 65.0, 64),
 ]
