@@ -578,8 +578,17 @@ def optimize_kl(
 
     Most configuration arguments may be callables of the iteration index,
     making schedules first-class.  With ``odir`` set, samples+state are
-    pickled each iteration and ``resume=True`` continues from the last
-    checkpoint.
+    pickled each iteration (``resume=True`` continues from the last
+    checkpoint), ``minisanity.txt`` plus energy-/minisanity-history plots
+    are maintained, and ``export_operators={name: callable}`` writes each
+    operator's posterior mean/std to ``odir/operator_outputs/<name>_last.npz``.
+
+    Parallel execution: ``devices=[...]`` shards the *sample* axis over a
+    1-D mesh (KL reductions become psums).  ``position_sharding=`` (a
+    pytree of `NamedSharding`s, e.g. ``model.position_sharding()`` from a
+    model finalized with ``field_mesh=``) runs the whole loop
+    domain-decomposed over the *field* axis instead — per-device memory
+    O(N/p); samples then map with vmap over the sharded model.
     """
     LAST_FILENAME = "last.pkl"
     MINISANITY_FILENAME = "minisanity.txt"
