@@ -156,13 +156,25 @@ class OptimizeVI:
         self.named_sharding = None
         self.named_sharding_rep = None
         self.position_sharding = position_sharding
-        if position_sharding is not None and devices is not None:
-            raise NotImplementedError(
-                "simultaneous sample-mesh (devices=) and field-mesh"
-                " (position_sharding=) execution is not wired up yet; use"
-                " one or the other (samples map with vmap over the"
-                " field-sharded model)"
+        self.sample_axis_name = None
+        if position_sharding is not None:
+            if devices is not None:
+                raise NotImplementedError(
+                    "pass a single mesh with both axes via position_sharding"
+                    " (a 'samples' mesh axis is picked up automatically)"
+                    " instead of combining devices= with position_sharding="
+                )
+            # combined sample×field decomposition: if the field mesh also
+            # carries a 'samples' axis, the vmapped sample batch is placed
+            # on it and GSPMD partitions around the (partial-manual)
+            # pencil-FFT shard_map
+            leaves = jax.tree_util.tree_leaves(
+                position_sharding,
+                is_leaf=lambda l: isinstance(l, NamedSharding),
             )
+            if leaves and "samples" in leaves[0].mesh.axis_names:
+                self.sample_axis_name = "samples"
+                self._sample_mesh = leaves[0].mesh
         if devices is not None and len(devices) > 1:
             import numpy as np
 
@@ -219,6 +231,13 @@ class OptimizeVI:
         if self.named_sharding is None:
             if self.position_sharding is not None:
                 primals = jax.device_put(primals, self.position_sharding)
+            if self.sample_axis_name is not None:
+                keys = jax.device_put(
+                    keys,
+                    NamedSharding(
+                        self._sample_mesh, PartitionSpec(self.sample_axis_name)
+                    ),
+                )
             smpls, states = sampler(self.likelihood, primals, keys)
             # interleave each sample with its mirror
             smpls = concatenate_zip(smpls, tree_map(jnp.negative, smpls))

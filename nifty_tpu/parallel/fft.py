@@ -73,12 +73,24 @@ def sharded_fftn(x, mesh: Mesh, axis_name: str = "fx", *, inverse: bool = False)
     if x.ndim < 2:
         raise ValueError("sharded_fftn expects ndim >= 2 (pencil split)")
     spec = P(axis_name, *((None,) * (x.ndim - 1)))
-    fn = shard_map(
-        partial(_fftn_local, axis_name=axis_name, inverse=inverse),
-        mesh=mesh,
-        in_specs=(spec,),
-        out_specs=spec,
-    )
+    try:
+        # map only the field axis manually; any other mesh axes (e.g. a
+        # sample axis of a 2-D mesh) stay automatic, so a vmapped sampler
+        # whose batch is sharded over them partitions around this kernel
+        fn = shard_map(
+            partial(_fftn_local, axis_name=axis_name, inverse=inverse),
+            mesh=mesh,
+            in_specs=(spec,),
+            out_specs=spec,
+            axis_names={axis_name},
+        )
+    except TypeError:  # older jax without partial-manual shard_map
+        fn = shard_map(
+            partial(_fftn_local, axis_name=axis_name, inverse=inverse),
+            mesh=mesh,
+            in_specs=(spec,),
+            out_specs=spec,
+        )
     return fn(x.astype(jnp.complex64 if x.dtype == jnp.float32 else jnp.complex128))
 
 

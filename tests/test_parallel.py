@@ -212,3 +212,53 @@ def test_field_sharded_optimize_kl_matches_unsharded():
         # iterative solvers accumulate reduction-order fp differences;
         # after one full VI iteration the positions agree to ~1e-5
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+
+
+def test_combined_sample_field_mesh_optimize_kl():
+    """Full 2-D decomposition: samples over one mesh axis, the field over
+    the other (partial-manual pencil FFT); equal to the unsharded run."""
+    import nifty_tpu as nt
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 devices")
+    mesh2 = Mesh(np.asarray(devs).reshape(2, 4), ("samples", "fx"))
+    shape = (16, 8)
+
+    def build(fm=None):
+        return _build_cf(shape, fm=fm)
+
+    cf, cfs = build(), build(mesh2)
+    rng = np.random.default_rng(5)
+    truth = np.asarray(cf(cf.init(random.PRNGKey(10))))
+    data = jnp.asarray(truth + 0.2 * rng.normal(size=shape))
+
+    def run(model, position_sharding=None):
+        lh = nt.Gaussian(data, noise_std_inv=lambda x: 5.0 * x).amend(model)
+        pos0 = jax.tree_util.tree_map(
+            lambda x: 0.1 * x, model.init(random.PRNGKey(0))
+        )
+        samples, _ = nt.optimize_kl(
+            lh,
+            pos0,
+            n_total_iterations=1,
+            n_samples=2,
+            key=random.PRNGKey(42),
+            draw_linear_kwargs=dict(cg_kwargs=dict(absdelta=1e-10, maxiter=100)),
+            kl_kwargs=dict(minimize_kwargs=dict(xtol=1e-8, maxiter=10)),
+            sample_mode="linear_resample",
+            odir=None,
+            position_sharding=position_sharding,
+        )
+        return samples
+
+    s_ref = run(cf)
+    s_shd = run(cfs, position_sharding=cfs.position_sharding())
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_ref.pos),
+        jax.tree_util.tree_leaves(s_shd.pos),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+    # the stacked residual samples live on the 2-D mesh
+    xi_s = s_shd._samples["cfxi"]
+    assert set(xi_s.sharding.mesh.axis_names) == {"samples", "fx"}
