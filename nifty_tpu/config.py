@@ -9,9 +9,13 @@ Keys
     reference defaults to).  Both are valid self-inverse transforms; they
     differ by a spatial reflection of the white noise.
 ``fft_impl``:
-    ``"auto"`` (default): on TPU use the MXU matmul FFT for axis lengths
-    where it beats XLA's VPU FFT (measured: ≤ 2048, composite length);
-    elsewhere XLA's native FFT.  ``"xla"`` / ``"matmul"`` force a choice.
+    ``"auto"`` (default): on TPU, real full 1-D/2-D Hartley transforms of
+    composite even length run the split-real half-spectrum MXU pipeline
+    (fastest at every measured size); complex transforms use the MXU
+    matmul FFT for axis lengths ≤ 2048 and XLA's VPU FFT beyond.
+    ``"xla"`` / ``"matmul"`` / ``"splitreal"`` force a choice
+    (``"splitreal"`` also enables the split-real path off-TPU, for
+    tests).
 """
 
 from __future__ import annotations
@@ -23,7 +27,7 @@ _config = {
 
 _VALID = {
     "hartley_convention": ("canonical_hartley", "non_canonical_hartley"),
-    "fft_impl": ("auto", "xla", "matmul"),
+    "fft_impl": ("auto", "xla", "matmul", "splitreal"),
 }
 
 __all__ = ["update", "_config"]
