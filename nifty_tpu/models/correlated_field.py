@@ -814,6 +814,7 @@ class CorrelatedField(Model):
         domain,
         init,
         dist_full_shapes=None,
+        dist_layouts=None,
         field_mesh=None,
         field_axis: str = "fx",
     ):
@@ -823,6 +824,11 @@ class CorrelatedField(Model):
             (None,) * len(self.amplitudes)
             if dist_full_shapes is None
             else tuple(dist_full_shapes)
+        )
+        self.dist_layouts = (
+            (None,) * len(self.amplitudes)
+            if dist_layouts is None
+            else tuple(dist_layouts)
         )
         self.azm = azm
         self.offset_mean = offset_mean
@@ -870,8 +876,11 @@ class CorrelatedField(Model):
         fshapes = getattr(
             self, "dist_full_shapes", (None,) * len(self.amplitudes)
         )
+        layouts = getattr(self, "dist_layouts", (None,) * len(self.amplitudes))
         field_mesh = getattr(self, "field_mesh", None)
-        for amp, dist, fshape in zip(self.amplitudes, self.distributors, fshapes):
+        for amp, dist, fshape, layout in zip(
+            self.amplitudes, self.distributors, fshapes, layouts
+        ):
             if dist is None:
                 # pixel-expansion amplitude: evaluated per harmonic-grid
                 # pixel in closed form — no table, no gather
@@ -884,10 +893,18 @@ class CorrelatedField(Model):
                 # divide the degenerate zero-mode out of each amplitude
                 a = a.at[1:].mul(1.0 / azm)
                 # |k| is mirror-symmetric per axis, so for Fourier grids
-                # the table covers only the (n//2+1)^d core — the gather
-                # (the metric hot path's dominant cost: XLA TPU gathers
-                # run at ~10 cycles/element) shrinks ~2^d-fold
-                ea = a[dist]
+                # the table covers only the (n//2+1)^d core; mode_expand
+                # additionally packs the core's transposition symmetry
+                # (square grids) and gathers through the 2-wide-slice fast
+                # path — per-index cost ~3x below a plain XLA gather, with
+                # a single packed scatter-add as transpose (the metric hot
+                # path; see ops/mode_expand.py)
+                if layout is not None:
+                    from ..ops.mode_expand import mode_expand
+
+                    ea = mode_expand(a, dist, layout)
+                else:
+                    ea = a[dist]
             if fshape is not None:
                 ea = _mirror_unfold(ea, fshape)
             # order matters — must match the excitation axes
@@ -1150,28 +1167,38 @@ class CorrelatedFieldMaker:
         # amplitudes need no table at all.  For Fourier grids only the
         # non-redundant |k| octant (n//2+1 per axis) is stored/gathered and
         # the result is mirror-expanded (see `_mirror_unfold`).
+        from ..ops.mode_expand import build_expand_layout
+
         distributors = []
         dist_full_shapes = []
+        dist_layouts = []
         for a, g in zip(self._fluctuations, self._target_grids):
             if getattr(a, "pixel_mode", False):
                 distributors.append(None)
                 dist_full_shapes.append(tuple(g.harmonic_grid.shape))
+                dist_layouts.append(None)
             elif isinstance(g, RegularCartesianGrid):
                 pd = np.asarray(g.harmonic_grid.power_distributor, dtype=np.int32)
                 core = pd[tuple(slice(0, n // 2 + 1) for n in pd.shape)]
-                distributors.append(jnp.asarray(np.ascontiguousarray(core)))
-                dist_full_shapes.append(tuple(pd.shape))
-            else:
-                distributors.append(
-                    jnp.asarray(
-                        np.asarray(
-                            g.harmonic_grid.power_distributor, dtype=np.int32
-                        )
-                    )
+                packed, layout = build_expand_layout(
+                    core, int(g.harmonic_grid.mode_lengths.size)
                 )
+                distributors.append(packed)
+                dist_full_shapes.append(tuple(pd.shape))
+                dist_layouts.append(layout)
+            else:
+                pd = np.asarray(
+                    g.harmonic_grid.power_distributor, dtype=np.int32
+                )
+                packed, layout = build_expand_layout(
+                    pd, int(g.harmonic_grid.mode_lengths.size)
+                )
+                distributors.append(packed)
                 dist_full_shapes.append(None)
+                dist_layouts.append(layout)
         distributors = tuple(distributors)
         dist_full_shapes = tuple(dist_full_shapes)
+        dist_layouts = tuple(dist_layouts)
 
         init = {
             k: partial(random_like, primals=v)
@@ -1187,6 +1214,7 @@ class CorrelatedFieldMaker:
             domain=dict(self._parameter_tree),
             init=init,
             dist_full_shapes=dist_full_shapes,
+            dist_layouts=dist_layouts,
             field_mesh=field_mesh,
             field_axis=field_axis,
         )
