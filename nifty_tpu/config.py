@@ -9,13 +9,16 @@ Keys
     reference defaults to).  Both are valid self-inverse transforms; they
     differ by a spatial reflection of the white noise.
 ``fft_impl``:
-    ``"auto"`` (default): on TPU, real full 1-D/2-D Hartley transforms of
-    composite even length run the split-real half-spectrum MXU pipeline
-    (fastest at every measured size); complex transforms use the MXU
-    matmul FFT for axis lengths ≤ 2048 and XLA's VPU FFT beyond.
-    ``"xla"`` / ``"matmul"`` / ``"splitreal"`` force a choice
-    (``"splitreal"`` also enables the split-real path off-TPU, for
-    tests).
+    ``"auto"`` (default): on TPU, 2-D f32 Hartley transforms with both
+    axes multiples of 256 and ≥ 2048 run the fused Pallas four-step
+    (``ops/pallas_fft.py`` — input read once, output written once,
+    bf16x3 MXU dots); smaller real full 1-D/2-D Hartley transforms of
+    composite even length run the split-real half-spectrum MXU einsum
+    pipeline; complex transforms use the MXU matmul FFT for axis
+    lengths ≤ 2048 and XLA's VPU FFT beyond.  ``"xla"`` / ``"matmul"``
+    / ``"splitreal"`` / ``"pallas"`` force a choice (``"splitreal"``
+    and ``"pallas"`` also enable those paths off-TPU, for tests —
+    ``"pallas"`` runs the kernels through the Pallas interpreter).
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ _config = {
 
 _VALID = {
     "hartley_convention": ("canonical_hartley", "non_canonical_hartley"),
-    "fft_impl": ("auto", "xla", "matmul", "splitreal"),
+    "fft_impl": ("auto", "xla", "matmul", "splitreal", "pallas"),
 }
 
 __all__ = ["update", "_config"]

@@ -57,6 +57,10 @@ def hartley(x, axes: Optional[Sequence[int]] = None):
     if axes is None:
         axes = tuple(range(x.ndim))
     axes = tuple(a % x.ndim for a in axes)
+    if _use_pallas(x, axes):
+        from .pallas_fft import hartley2d_pallas
+
+        return hartley2d_pallas(x)
     if _use_splitreal(x, axes):
         return hartley_splitreal(x)
     if _use_mxu(x.shape, axes):
@@ -268,6 +272,32 @@ def hartley_splitreal(x):
     src = jnp.flip(src, axis=1)
     src = jnp.roll(jnp.flip(src, axis=0), 1, axis=0)
     return jnp.concatenate([h_lo, src], axis=1)
+
+
+# below this edge the fused Pallas Hartley loses to the split-real einsum
+# pipeline (measured on a v5e: 1280² pallas 0.32 ms vs splitreal 0.13 ms;
+# ≥2048² pallas wins — see BENCHMARKS.md)
+_PALLAS_MIN_AXIS = 2048
+
+
+def _use_pallas(x, axes) -> bool:
+    from ..config import _config
+
+    from .pallas_fft import pallas_hartley_supported
+
+    if not (x.ndim == 2 and len(axes) == 2):
+        return False
+    if not pallas_hartley_supported(x.shape, x.dtype):
+        return False
+    impl = _config["fft_impl"]
+    if impl == "pallas":
+        return True
+    if impl != "auto":
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        and min(x.shape) >= _PALLAS_MIN_AXIS
+    )
 
 
 def _use_splitreal(x, axes) -> bool:
