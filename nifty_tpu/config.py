@@ -9,16 +9,18 @@ Keys
     reference defaults to).  Both are valid self-inverse transforms; they
     differ by a spatial reflection of the white noise.
 ``fft_impl``:
-    ``"auto"`` (default): on TPU, 2-D f32 Hartley transforms with both
-    axes multiples of 256 and ≥ 2048 run the fused Pallas four-step
+    ``"auto"`` (default): on TPU, real full 1-D/2-D Hartley transforms
+    of composite even length run the split-real half-spectrum MXU
+    einsum pipeline; complex transforms use the MXU matmul FFT for
+    axis lengths ≤ 2048 and XLA's VPU FFT beyond.  ``"xla"`` /
+    ``"matmul"`` / ``"splitreal"`` / ``"pallas"`` force a choice
+    (``"splitreal"`` and ``"pallas"`` also enable those paths off-TPU,
+    for tests — ``"pallas"`` runs the kernels through the Pallas
+    interpreter).  The fused Pallas four-step Hartley
     (``ops/pallas_fft.py`` — input read once, output written once,
-    bf16x3 MXU dots); smaller real full 1-D/2-D Hartley transforms of
-    composite even length run the split-real half-spectrum MXU einsum
-    pipeline; complex transforms use the MXU matmul FFT for axis
-    lengths ≤ 2048 and XLA's VPU FFT beyond.  ``"xla"`` / ``"matmul"``
-    / ``"splitreal"`` / ``"pallas"`` force a choice (``"splitreal"``
-    and ``"pallas"`` also enable those paths off-TPU, for tests —
-    ``"pallas"`` runs the kernels through the Pallas interpreter).
+    bf16x3 MXU dots) is opt-in: measured end-to-end it only matches
+    the einsum pipeline at ≥4096² while costing a much longer Mosaic
+    compile (see ``ops/fft.py:_use_pallas``).
 """
 
 from __future__ import annotations

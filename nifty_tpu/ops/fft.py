@@ -274,30 +274,23 @@ def hartley_splitreal(x):
     return jnp.concatenate([h_lo, src], axis=1)
 
 
-# below this edge the fused Pallas Hartley loses to the split-real einsum
-# pipeline (measured on a v5e: 1280² pallas 0.32 ms vs splitreal 0.13 ms;
-# ≥2048² pallas wins — see BENCHMARKS.md)
-_PALLAS_MIN_AXIS = 2048
-
-
+# The fused Pallas Hartley is kept OPT-IN (`fft_impl="pallas"`), not part
+# of "auto": end-to-end timings on a v5e show it matching — not beating —
+# the split-real einsum pipeline at ≥4096² (7.50 ms vs 7.37 ms standalone
+# at 4096²; XLA already keeps the einsum stages MXU-resident), while its
+# Mosaic compile is far more expensive (minutes through a tunneled
+# backend vs ~10 s for the einsum pipeline).  Correctness is covered by
+# tests/test_pallas_fft.py (interpreter mode off-TPU).
 def _use_pallas(x, axes) -> bool:
     from ..config import _config
 
     from .pallas_fft import pallas_hartley_supported
 
+    if _config["fft_impl"] != "pallas":
+        return False
     if not (x.ndim == 2 and len(axes) == 2):
         return False
-    if not pallas_hartley_supported(x.shape, x.dtype):
-        return False
-    impl = _config["fft_impl"]
-    if impl == "pallas":
-        return True
-    if impl != "auto":
-        return False
-    return (
-        jax.default_backend() == "tpu"
-        and min(x.shape) >= _PALLAS_MIN_AXIS
-    )
+    return pallas_hartley_supported(x.shape, x.dtype)
 
 
 def _use_splitreal(x, axes) -> bool:

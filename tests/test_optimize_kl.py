@@ -43,7 +43,14 @@ def test_optimize_kl_converges_and_resumes(tmp_path):
     nrmse = np.linalg.norm(post - np.asarray(truth)) / np.linalg.norm(
         np.asarray(truth)
     )
-    assert nrmse < 0.5
+    # measured 0.069 at 3 iterations (2x headroom); catches quality
+    # regressions a loose bound would miss
+    assert nrmse < 0.15
+    # posterior must also be *calibrated*: per-pixel |error|/std neither
+    # wildly overconfident (z >> 1) nor inflated (z << 0.05)
+    pstd = np.std([np.asarray(cf(s)) for s in samples], axis=0)
+    z = np.abs(post - np.asarray(truth)) / (pstd + 1e-12)
+    assert 0.05 < np.median(z) < 3.0
     # resume continues from the checkpoint
     kwargs["n_total_iterations"] = 4
     samples2, state2 = nt.optimize_kl(lh, samples, resume=True, **kwargs)
