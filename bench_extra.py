@@ -54,7 +54,9 @@ def _chain_time(f, z0, iters=8, reps=3):
         t0 = time.perf_counter()
         float(run(z0))
         ts.append((time.perf_counter() - t0 - floor) / iters)
-    return float(np.median(ts))
+    # sub-ms kernels can land below the (jittering) roundtrip floor —
+    # clamp instead of reporting a negative time
+    return max(float(np.median(ts)), 1e-9)
 
 
 def _emit(metric, value, unit):
@@ -198,7 +200,9 @@ def bench_icr(depth=6):
         s = jnp.sum(out) * 1e-20
         return jax.tree_util.tree_map(lambda q: q + s, p)
 
-    t = _chain_time(f, pos, iters=4)
+    # long chain: a single refinement is ~0.3 ms, far below the tunnel's
+    # 25-35 ms roundtrip jitter
+    t = _chain_time(f, pos, iters=64)
     npix_fine = np.prod(grid.shapes[-1])
     _emit(f"icr_refine_depth{depth}_{int(npix_fine)}px", t * 1e3, "ms")
 

@@ -1,0 +1,58 @@
+"""Smoke-run the demo gallery (reference: `demos/re/*`, `demos/cl/*`).
+
+Each demo is executed as a real script (fresh interpreter, CPU forced) so
+it is verified exactly as a user would run it.  The full sweep is slow on
+a small CI box, so only the cheapest demo runs unconditionally; set
+``NIFTY_TPU_RUN_DEMO_TESTS=1`` for the whole gallery.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+DEMOS_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "demos")
+
+CHEAP = ["10_config_file.py"]
+FULL = [
+    "0_intro.py",
+    "1_tomography.py",
+    "2_sphere.py",
+    "3_nuts.py",
+    "4_multigrid_icr.py",
+    "5_wiener_filter.py",
+    "7_multifrequency.py",
+    "8_density_estimator.py",
+    "9_classification.py",
+    "11_model_comparison.py",
+    "12_parametric_vi.py",
+    "13_varcov_regression.py",
+]
+
+
+def _run(name):
+    env = dict(os.environ, NIFTY_TPU_DEMO_CPU="1")
+    r = subprocess.run(
+        [sys.executable, os.path.join(DEMOS_DIR, name)],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        env=env,
+        cwd=os.path.join(DEMOS_DIR, os.pardir),
+    )
+    assert r.returncode == 0, f"{name} failed:\n{r.stdout}\n{r.stderr}"
+
+
+@pytest.mark.parametrize("name", CHEAP)
+def test_demo_cheap(name):
+    _run(name)
+
+
+@pytest.mark.skipif(
+    os.environ.get("NIFTY_TPU_RUN_DEMO_TESTS", "0") != "1",
+    reason="full demo sweep is slow; set NIFTY_TPU_RUN_DEMO_TESTS=1",
+)
+@pytest.mark.parametrize("name", FULL)
+def test_demo_full(name):
+    _run(name)
