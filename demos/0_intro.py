@@ -64,9 +64,12 @@ def main():
 
     lh = nt.Gaussian(data, noise_cov_inv=lambda x: x / noise_cov).amend(signal)
 
-    n_vi_iterations = 4
+    # NIFTY_TPU_DEMO_FAST=1 shrinks the VI schedule so the demo can run
+    # unconditionally in CI; the default is the full reference-like run
+    fast = os.environ.get("NIFTY_TPU_DEMO_FAST", "0") == "1"
+    n_vi_iterations = 2 if fast else 4
     delta = 1e-4
-    n_samples = 4
+    n_samples = 2 if fast else 4
 
     key, k_i, k_o = random.split(key, 3)
     samples, state = nt.optimize_kl(
@@ -96,7 +99,7 @@ def main():
     )
     print(f"posterior NRMSE vs truth: {nrmse:.4f}")
     print(f"fraction of truth inside mean±3std: {inside:.3f}")
-    assert nrmse < 0.2, "reconstruction failed"
+    assert nrmse < (0.3 if fast else 0.2), "reconstruction failed"
     return nrmse
 
 

@@ -21,7 +21,7 @@ from .evi import (
     sample_likelihood,
     wiener_filter_posterior,
 )
-from . import extra, hmc, lax, multi_grid, operators
+from . import extra, hmc, lax, multi_grid, operators, plot
 from .check_model import check_model
 from .config_file import OptimizeKLConfig
 from .empirical_power_spectrum import compute_empirical_power_spectrum

@@ -1,3 +1,4 @@
+import ast
 import time, sys, numpy as np, jax, jax.numpy as jnp
 import nifty_tpu
 from nifty_tpu.ops import fft as F
@@ -19,7 +20,7 @@ def timeit(f, x, k=8, n_=3, label=""):
 
 ref = np.asarray(jax.jit(F.hartley_splitreal)(x))
 orig_factor = F._factor_splitreal
-for fac in eval(sys.argv[2]):
+for fac in ast.literal_eval(sys.argv[2]):
     F._factor_splitreal = lambda m, _f=fac: _f if m == n else orig_factor(m)
     out = np.asarray(jax.jit(F.hartley_splitreal)(x))
     err = np.linalg.norm(out - ref) / np.linalg.norm(ref)

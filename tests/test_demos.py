@@ -14,14 +14,12 @@ import pytest
 
 DEMOS_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "demos")
 
-CHEAP = ["10_config_file.py"]
+CHEAP = ["10_config_file.py", "0_intro.py", "5_wiener_filter.py"]
 FULL = [
-    "0_intro.py",
     "1_tomography.py",
     "2_sphere.py",
     "3_nuts.py",
     "4_multigrid_icr.py",
-    "5_wiener_filter.py",
     "7_multifrequency.py",
     "8_density_estimator.py",
     "9_classification.py",
@@ -31,8 +29,10 @@ FULL = [
 ]
 
 
-def _run(name):
+def _run(name, fast=False):
     env = dict(os.environ, NIFTY_TPU_DEMO_CPU="1")
+    if fast:
+        env["NIFTY_TPU_DEMO_FAST"] = "1"
     r = subprocess.run(
         [sys.executable, os.path.join(DEMOS_DIR, name)],
         capture_output=True,
@@ -46,7 +46,7 @@ def _run(name):
 
 @pytest.mark.parametrize("name", CHEAP)
 def test_demo_cheap(name):
-    _run(name)
+    _run(name, fast=True)
 
 
 @pytest.mark.skipif(
