@@ -205,6 +205,91 @@ def _cap_groups(nside):
     return groups
 
 
+def _cap_synthesis(f_c, f_s, ring_idx, nphi, phi0, mmax, w_np, chunk=8):
+    """Evaluate all polar-cap rings (ragged lengths 4k) in one scanned,
+    MXU-batched pass — the TPU replacement for per-ring-length fold
+    matrices + tiny FFTs (which cost one compiled program per distinct
+    ring length, untenable beyond nside ≈ 64).
+
+    Ring values are a factored direct DFT:  with m = m1 + S·m2,
+
+        f(φ) = Σ_m w_m (c_m cos mφ − s_m sin mφ)
+             = Re Σ_{m2} e^{iS m2 φ} Σ_{m1} (wc + i ws)[m1+S·m2] e^{i m1 φ}
+
+    so each ring chunk is two small batched matmuls over m1 plus an
+    elementwise combine over m2 — O((mmax+1)·L) MACs per ring with only
+    O((S + mmax/S)·L) transcendentals.  The ragged (4k-pixel) rings are
+    flattened by sequential ``dynamic_update_slice`` writes at increasing
+    static offsets: each ring writes its padded row, and the padding tail
+    is overwritten by the next ring's (good) values — no gather/scatter.
+
+    Everything used here is a transposable lax primitive, so the exact
+    adjoint comes from ``jax.linear_transpose``.
+
+    Parameters: ``f_c``/``f_s`` are the full (n_rings, mmax+1) Legendre
+    sums; ``ring_idx`` the cap ring indices **in map order**; ``nphi``/
+    ``phi0`` the per-cap-ring pixel counts and first-pixel offsets.
+    Returns the flat concatenation of the cap rings in that order.
+    """
+    dtype = f_c.dtype
+    R = len(ring_idx)
+    if R == 0:
+        return jnp.zeros((0,), dtype)
+    M = mmax + 1
+    S = min(16, M)
+    M2 = -(-M // S)
+    L = int(np.max(nphi))
+    L = max(128, -(-L // 128) * 128)  # lane-pad
+    chunk = min(chunk, R)
+
+    # static angle tables, range-reduced in f64 *before* the cast so that
+    # m·φ stays f32-accurate: ang1 = φ_j mod 2π feeds the m1 < S factors,
+    # ang2 = (S·φ_j) mod 2π the coarse e^{iS m2 φ} factors
+    jj = np.arange(L, dtype=np.float64)[None, :]
+    phi = np.asarray(phi0)[:, None] + (
+        2.0 * np.pi / np.asarray(nphi, dtype=np.float64)[:, None]
+    ) * jj
+    ang1_np = np.mod(phi, 2.0 * np.pi)
+    ang2_np = np.mod(S * phi, 2.0 * np.pi)
+
+    wc = f_c[jnp.asarray(ring_idx)] * jnp.asarray(w_np, dtype)[None, :]
+    ws = f_s[jnp.asarray(ring_idx)] * jnp.asarray(w_np, dtype)[None, :]
+    pad = ((0, 0), (0, M2 * S - M))
+    C1 = jnp.pad(wc, pad).reshape(R, M2, S)
+    C2 = jnp.pad(ws, pad).reshape(R, M2, S)
+
+    m1 = jnp.arange(S, dtype=dtype)[None, :, None]
+    m2 = jnp.arange(M2, dtype=dtype)[None, :, None]
+
+    # blocked python loop (NOT lax.scan: linear values in scan xs break
+    # jax.linear_transpose); per block two batched MXU contractions over
+    # m1 plus an elementwise combine over m2
+    parts = []
+    for r0 in range(0, R, chunk):
+        r1 = min(r0 + chunk, R)
+        a1 = jnp.asarray(ang1_np[r0:r1], dtype)[:, None, :]  # (C,1,L)
+        a2 = jnp.asarray(ang2_np[r0:r1], dtype)[:, None, :]
+        c1 = C1[r0:r1]
+        c2 = C2[r0:r1]
+        t1c = jnp.cos(m1 * a1)
+        t1s = jnp.sin(m1 * a1)
+        zc = jnp.einsum("cns,csl->cnl", c1, t1c) - jnp.einsum(
+            "cns,csl->cnl", c2, t1s
+        )
+        zs = jnp.einsum("cns,csl->cnl", c1, t1s) + jnp.einsum(
+            "cns,csl->cnl", c2, t1c
+        )
+        t2c = jnp.cos(m2 * a2)
+        t2s = jnp.sin(m2 * a2)
+        vals = jnp.einsum("cnl,cnl->cl", zc, t2c) - jnp.einsum(
+            "cnl,cnl->cl", zs, t2s
+        )
+        # ragged flatten: static per-ring slices, one final concatenate
+        for c in range(r1 - r0):
+            parts.append(vals[c, : int(nphi[r0 + c])])
+    return jnp.concatenate(parts)
+
+
 def healpix_synthesis(alm, nside: int, lmax=None, mmax=None):
     """Spherical-harmonic synthesis: packed real alm → RING-ordered
     HEALPix map of 12·nside² pixels.  Linear and transposable."""
@@ -222,46 +307,35 @@ def healpix_synthesis(alm, nside: int, lmax=None, mmax=None):
     c_re, c_im = unpack_real_alm(alm, lmax, mmax)
     f_c, f_s = _legendre_contract(cos_theta, sin_theta, c_re, c_im, lmax, mmax)
 
-    # ring-harmonic complex amplitudes with the first-pixel phase and the
-    # real-basis weights folded in:  pixel value = Σ_m Re(G_m e^{2πi m j / n})
+    # real-basis weights (+ the reference's global √(4π) synthesis scale)
     ms = np.arange(mmax + 1)
     w = np.full(mmax + 1, np.sqrt(2.0))
     w[0] = 1.0
-    w *= np.sqrt(4.0 * np.pi)  # reference's global synthesis scaling
-    phase = np.exp(1j * ms[None, :] * phi0[:, None]) * w[None, :]
-    phase = jnp.asarray(phase, dtype=cdtype)
-    g = (f_c + 1j * f_s).astype(cdtype) * phase  # (n_rings, mmax+1)
+    w *= np.sqrt(4.0 * np.pi)
 
     # --- equatorial belt: one batched ifft (no aliasing: mmax < 4 nside)
     n_eq = 4 * nside
     eq_lo, eq_hi = nside - 1, 3 * nside - 1  # 0-based ring indices, inclusive
-    g_eq = g[eq_lo : eq_hi + 1]
+    phase = np.exp(1j * ms[None, :] * phi0[eq_lo : eq_hi + 1, None]) * w[None, :]
+    g_eq = (f_c[eq_lo : eq_hi + 1] + 1j * f_s[eq_lo : eq_hi + 1]).astype(
+        cdtype
+    ) * jnp.asarray(phase, dtype=cdtype)
     h_eq = jnp.zeros((g_eq.shape[0], n_eq), dtype=cdtype)
     h_eq = h_eq.at[:, : mmax + 1].set(g_eq)
     f_eq = n_eq * jnp.real(jnp.fft.ifft(h_eq, axis=-1))
 
-    # --- polar caps: per-length alias fold (matmul) + tiny batched ifft
-    cap_out = {}
-    for n_r, i_n, i_s in _cap_groups(nside):
-        fold = np.zeros((n_r, mmax + 1), dtype=np.float64)
-        fold[ms % n_r, ms] = 1.0
-        fold_j = jnp.asarray(fold, dtype=dtype)
-        g_pair = g[jnp.asarray([i_n, i_s])]  # (2, mmax+1)
-        h = (
-            g_pair.real @ fold_j.T + 1j * (g_pair.imag @ fold_j.T)
-        ).astype(cdtype)
-        f_pair = n_r * jnp.real(jnp.fft.ifft(h, axis=-1))
-        cap_out[i_n] = f_pair[0]
-        cap_out[i_s] = f_pair[1]
-
-    # --- assemble RING-ordered pixel vector
-    parts = []
-    for i in range(n_rings):
-        if eq_lo <= i <= eq_hi:
-            if i == eq_lo:
-                parts.append(f_eq.reshape(-1))
-        else:
-            parts.append(cap_out[i])
+    # --- polar caps: batched factored DFT over all ragged rings
+    north = list(range(0, nside - 1))
+    south = list(range(3 * nside, n_rings))
+    cap_idx = north + south
+    if cap_idx:
+        f_cap = _cap_synthesis(
+            f_c, f_s, cap_idx, nphi[cap_idx], phi0[cap_idx], mmax, w
+        )
+        n_north = int(np.sum(nphi[north]))
+        parts = [f_cap[:n_north], f_eq.reshape(-1), f_cap[n_north:]]
+    else:
+        parts = [f_eq.reshape(-1)]
     return jnp.concatenate(parts).astype(dtype)
 
 

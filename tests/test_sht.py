@@ -287,3 +287,83 @@ def test_healpix_analysis_inverts_synthesis(nside):
     rec1 = healpix_analysis(m, nside, lmax=lmax, mmax=lmax, iterations=1)
     err1 = np.abs(np.asarray(rec1) - np.asarray(alm)).max()
     assert err < err1
+
+
+# --- scale validation (ragged-ring cap path at production nside) --------------
+
+LARGE = __import__("os").environ.get("NIFTY_TPU_LARGE", "") == "1"
+
+
+def _sampled_mode_check(nside, lmax, modes, atol):
+    """Synthesize single-(l,m) alms and compare against direct Y_lm
+    evaluation on every pixel — validates the full cap/belt pipeline at
+    scales where the all-mode brute force is unaffordable."""
+    theta, phi = _pixel_angles(nside)
+    size = _alm_size(lmax, lmax)
+    f = jax.jit(
+        lambda a: healpix_synthesis(a, nside, lmax, lmax)
+    )
+    for l, m, use_im in modes:
+        x = np.zeros(size)
+        if m == 0:
+            x[l] = 1.0
+        else:
+            off = (lmax + 1) + 2 * ((m - 1) * lmax - (m - 1) * m // 2 + (m - 1)) + 2 * (l - m)
+            x[off + (1 if use_im else 0)] = 1.0
+        got = np.asarray(f(jnp.asarray(x)))
+        lam = sph_harm_y(l, m, theta, 0.0).real
+        if m == 0:
+            expect = lam
+        elif use_im:
+            expect = -np.sqrt(2.0) * lam * np.sin(m * phi)
+        else:
+            expect = np.sqrt(2.0) * lam * np.cos(m * phi)
+        expect = np.sqrt(4.0 * np.pi) * expect
+        np.testing.assert_allclose(got, expect, atol=atol, err_msg=f"l={l} m={m}")
+
+
+def test_synthesis_sampled_modes_nside64():
+    modes = [(0, 0, 0), (127, 0, 0), (128, 128, 0), (100, 37, 1), (128, 1, 0), (77, 76, 1)]
+    _sampled_mode_check(64, 128, modes, atol=1e-8)
+
+
+@pytest.mark.skipif(not LARGE, reason="set NIFTY_TPU_LARGE=1 (minutes)")
+def test_synthesis_sampled_modes_nside256():
+    modes = [(512, 0, 0), (512, 512, 0), (400, 137, 1), (512, 1, 0), (257, 256, 0)]
+    _sampled_mode_check(256, 512, modes, atol=1e-8)
+
+
+def test_healpix_analysis_converges_nside64():
+    from nifty_tpu.ops.sht import healpix_analysis, healpix_synthesis
+
+    nside, lmax = 64, 128
+    n_alm = (lmax + 1) ** 2
+    rng = np.random.default_rng(3)
+    # red spectrum like a correlated-field amplitude
+    ls = np.concatenate(
+        [np.arange(lmax + 1)]
+        + [np.repeat(np.arange(m, lmax + 1), 2) for m in range(1, lmax + 1)]
+    ).astype(np.float64)
+    alm = rng.normal(size=n_alm) / (1.0 + ls) ** 1.5
+    m = healpix_synthesis(jnp.asarray(alm), nside, lmax=lmax, mmax=lmax)
+    rec = healpix_analysis(m, nside, lmax=lmax, mmax=lmax, iterations=4)
+    err = np.linalg.norm(np.asarray(rec) - alm) / np.linalg.norm(alm)
+    assert err < 1e-3, err
+
+
+@pytest.mark.skipif(not LARGE, reason="set NIFTY_TPU_LARGE=1 (minutes)")
+def test_healpix_analysis_converges_nside256():
+    from nifty_tpu.ops.sht import healpix_analysis, healpix_synthesis
+
+    nside, lmax = 256, 512
+    n_alm = (lmax + 1) ** 2
+    rng = np.random.default_rng(4)
+    ls = np.concatenate(
+        [np.arange(lmax + 1)]
+        + [np.repeat(np.arange(m, lmax + 1), 2) for m in range(1, lmax + 1)]
+    ).astype(np.float64)
+    alm = rng.normal(size=n_alm) / (1.0 + ls) ** 1.5
+    m = healpix_synthesis(jnp.asarray(alm), nside, lmax=lmax, mmax=lmax)
+    rec = healpix_analysis(m, nside, lmax=lmax, mmax=lmax, iterations=4)
+    err = np.linalg.norm(np.asarray(rec) - alm) / np.linalg.norm(alm)
+    assert err < 1e-3, err
