@@ -99,7 +99,30 @@ def _getitem_at_nit(config, key, nit):
     return c
 
 
+def _replicate_if_multihost(tree):
+    """Multi-host runs shard samples across processes; host-side
+    diagnostics (minisanity) need the values fully addressable, so
+    all-gather them first (a collective — every process must call this)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    bad = [
+        l
+        for l in leaves
+        if hasattr(l, "is_fully_addressable") and not l.is_fully_addressable
+    ]
+    if not bad:
+        return tree
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh = bad[0].sharding.mesh
+    rep = NamedSharding(mesh, PartitionSpec())
+    gathered = jax.jit(lambda xs: xs, out_shardings=[rep] * len(bad))(bad)
+    table = {id(b): g for b, g in zip(bad, gathered)}
+    return jax.tree_util.tree_map(lambda l: table.get(id(l), l), tree)
+
+
 def get_status_message(samples, state, residual=None, *, name="", map="vmap") -> str:
+    samples = _replicate_if_multihost(samples)
+    state = _replicate_if_multihost(state)
     energy = state.minimization_state.fun
     msg_smpl = ""
     if isinstance(state.sample_state, optimize.OptimizeResults):

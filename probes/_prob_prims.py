@@ -36,15 +36,16 @@ def timeprog(run, args, reps, label):
 
 def p1_vreg_gather(reps=256):
     def kernel(x_ref, idx_ref, out_ref):
-        def outer(k, buf):
-            def body(v, buf):
-                blk = buf[pl.ds(v * 8, 8), :]
-                ix = idx_ref[pl.ds(v * 8, 8), :]
-                g = jnp.take_along_axis(blk, ix, axis=0)
-                buf = jax.lax.dynamic_update_slice(buf, g, (v * 8, 0))
-                return buf
+        idx = idx_ref[:]
 
-            return jax.lax.fori_loop(0, R // 8, body, buf)
+        def outer(k, buf):
+            parts = [
+                jnp.take_along_axis(
+                    buf[8 * v : 8 * v + 8], idx[8 * v : 8 * v + 8], axis=0
+                )
+                for v in range(R // 8)
+            ]
+            return jnp.concatenate(parts, axis=0)
 
         out_ref[:] = jax.lax.fori_loop(0, reps, outer, x_ref[:])
 
@@ -89,9 +90,9 @@ def p2_transpose(reps=512):
 
 
 def p3_cumsum(reps=1024):
-    tri = jnp.asarray(np.triu(np.ones((L, L), np.float32)))
+    def kernel(x_ref, tri_ref, out_ref):
+        tri = tri_ref[:]
 
-    def kernel(x_ref, out_ref):
         def body(i, x):
             c = jax.lax.dot_general(
                 x, tri, (((1,), (0,)), ((), ())),
@@ -102,17 +103,18 @@ def p3_cumsum(reps=1024):
         out_ref[:] = jax.lax.fori_loop(0, reps, body, x_ref[:])
 
     @jax.jit
-    def run(x):
+    def run(x, tri):
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((R, L), jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )(x)
+        )(x, tri)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((R, L)), jnp.float32)
-    timeprog(run, (x,), reps, "P3 lane-cumsum tri-matmul")
+    tri = jnp.asarray(np.triu(np.ones((L, L), np.float32)))
+    timeprog(run, (x, tri), reps, "P3 lane-cumsum tri-matmul")
 
 
 if __name__ == "__main__":

@@ -309,3 +309,77 @@ def test_nd_variable_covariance_gaussian_parity():
             jax.tree_util.tree_leaves(lh_r.left_sqrt_metric(p, t)),
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+
+def test_elbo_parity():
+    """estimate_evidence_lower_bound agrees with the reference on a shared
+    model and identical samples (ref ``nifty/re/evidence_lower_bound.py:341``:
+    scipy/ARPACK eigsh there, native deflated Lanczos here)."""
+    shape = (12, 12)
+    cf_r = _build_cfm(jft, shape)
+    cf_o = _build_cfm(nt, shape)
+    rng = np.random.default_rng(5)
+    data = jnp.asarray(rng.normal(size=shape))
+    lh_r = jft.Gaussian(data, noise_std_inv=lambda x: 2.0 * x).amend(cf_r)
+    lh_o = nt.Gaussian(data, noise_std_inv=lambda x: 2.0 * x).amend(cf_o)
+
+    shapes = _as_dict(jax.eval_shape(cf_r.init, random.PRNGKey(0)))
+    def draw(seed):
+        r = np.random.default_rng(seed)
+        return {k: jnp.asarray(r.normal(size=v.shape)) for k, v in shapes.items()}
+
+    pos = jax.tree_util.tree_map(lambda x: 0.2 * x, draw(1))
+    resid = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([0.5 * x for x in xs]), draw(2), draw(3), draw(4)
+    )
+    smpl_r = jft.Samples(pos=jft.Vector(pos), samples=jft.Vector(resid))
+    smpl_o = nt.Samples(pos=nt.Vector(pos), samples=nt.Vector(resid))
+
+    kw = dict(n_eigenvalues=40, min_lh_eval=1e-12, n_batches=4, verbose=False)
+    es_r, st_r = jft.estimate_evidence_lower_bound(lh_r, smpl_r, **kw)
+    es_o, st_o = nt.estimate_evidence_lower_bound(lh_o, smpl_o, **kw)
+    np.testing.assert_allclose(np.sort(es_o), np.sort(es_r), rtol=2e-3)
+    assert abs(st_o["elbo_mean"] - st_r["elbo_mean"]) < 2e-3 * abs(st_r["elbo_mean"])
+
+
+def test_nuts_moments_parity():
+    """NUTS chains on a shared 1-D CF posterior: posterior moments agree
+    within MC error (ref ``nifty/re/hmc_oo.py:138``/``hmc.py:243``; both
+    runs use their own tree-sampling RNG, so the check is statistical)."""
+    import warnings
+
+    shape = (16,)
+    cf_r = _build_cfm(jft, shape)
+    cf_o = _build_cfm(nt, shape)
+    rng = np.random.default_rng(6)
+    truth = np.asarray(cf_r(cf_r.init(random.PRNGKey(1))))
+    data = jnp.asarray(truth + 0.3 * rng.normal(size=shape))
+    lh_r = jft.Gaussian(data, noise_std_inv=lambda x: x / 0.3).amend(cf_r)
+    lh_o = nt.Gaussian(data, noise_std_inv=lambda x: x / 0.3).amend(cf_o)
+
+    shapes = _as_dict(jax.eval_shape(cf_r.init, random.PRNGKey(0)))
+    pos0 = {k: jnp.zeros(v.shape) for k, v in shapes.items()}
+
+    def run(mod, lh, cf):
+        ham = lambda x: lh(x) + 0.5 * mod.vdot(x, x)
+        p0 = mod.Vector(pos0)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            chain = mod.NUTSChain(
+                potential_energy=ham,
+                inverse_mass_matrix=1.0,
+                position_proto=p0,
+                step_size=0.25,
+                max_tree_depth=10,
+            )
+        out, _ = chain.generate_n_samples(random.PRNGKey(42), p0, 2500)
+        fields = jax.vmap(lambda s: cf(_as_dict(s)))(out.samples)
+        burn = 500
+        f = np.asarray(fields)[burn:]
+        return f.mean(axis=0), f.std(axis=0)
+
+    m_r, s_r = run(jft, lh_r, cf_r)
+    m_o, s_o = run(nt, lh_o, cf_o)
+    scale = np.maximum(np.maximum(s_r, s_o), 1e-3)
+    assert np.max(np.abs(m_r - m_o) / scale) < 1.0, (m_r, m_o, scale)
+    assert np.all((0.6 < s_o / s_r) & (s_o / s_r < 1.67)), s_o / s_r
