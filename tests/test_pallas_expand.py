@@ -1,0 +1,102 @@
+"""Routing-network expansion: offline Clos router + Pallas kernels.
+
+The numpy simulator in ops/route.py executes the exact op sequence of the
+Pallas kernels; interpret-mode pallas_call cross-checks the kernels
+themselves on CPU.  On-TPU execution is covered by the device lane
+(tests/test_tpu_device.py) and bench.py.
+"""
+
+import numpy as np
+import pytest
+from jax import numpy as jnp
+
+from nifty_tpu.ops.route import (
+    build_expand_plan,
+    euler_color,
+    simulate_forward,
+    simulate_transpose,
+)
+
+
+def _random_case(P, U, seed):
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, U, P)
+    idx[rng.integers(0, P, min(U, P))] = np.arange(min(U, P))
+    return idx, rng
+
+
+@pytest.mark.parametrize("P,U", [(5000, 3000), (2000, 1999), (300, 7)])
+def test_euler_color_proper(P, U):
+    idx, rng = _random_case(P, U, 1)
+    src = idx // 8 % 64
+    dst = np.arange(P) // 8 % 64
+    # thin to degree <= 128
+    keep = np.zeros(P, bool)
+    cnt_s = np.zeros(64, int)
+    cnt_d = np.zeros(64, int)
+    for e in range(P):
+        if cnt_s[src[e]] < 128 and cnt_d[dst[e]] < 128:
+            keep[e] = True
+            cnt_s[src[e]] += 1
+            cnt_d[dst[e]] += 1
+    src, dst = src[keep], dst[keep]
+    colors = euler_color(src, dst, 64, 64, 128)
+    # properness asserted inside euler_color; check range
+    assert colors.min() >= 0 and colors.max() < 128
+
+
+@pytest.mark.parametrize(
+    "P,U,seed", [(5000, 3000, 0), (2000, 1999, 1), (300, 7, 2), (40000, 9000, 3)]
+)
+def test_simulator_exact(P, U, seed):
+    idx, rng = _random_case(P, U, seed)
+    plan = build_expand_plan(idx, U)
+    tab = rng.standard_normal(U)
+    assert np.abs(simulate_forward(plan, tab) - tab[idx]).max() == 0.0
+    cot = rng.standard_normal(P)
+    ref = np.zeros(U)
+    np.add.at(ref, idx, cot)
+    err = np.abs(simulate_transpose(plan, cot) - ref).max()
+    assert err < 1e-10 * max(np.abs(ref).max(), 1.0)
+
+
+def test_pallas_kernels_interpret_mode():
+    from nifty_tpu.ops import pallas_expand as pe
+
+    idx, rng = _random_case(40000, 9000, 4)
+    plan = build_expand_plan(idx, 9000)
+    tab = rng.standard_normal(9000).astype(np.float32)
+    out = np.asarray(pe.expand_forward(plan, jnp.asarray(tab), interpret=True))
+    assert np.abs(out - tab[idx]).max() == 0.0
+    cot = rng.standard_normal(40000).astype(np.float32)
+    tc = np.asarray(pe.expand_transpose(plan, jnp.asarray(cot), interpret=True))
+    ref = np.zeros(9000, np.float32)
+    np.add.at(ref, idx, cot)
+    assert np.abs(tc - ref).max() / np.abs(ref).max() < 1e-6
+
+
+def test_real_layout_1280_simulator():
+    """The actual 1280² exact-spectrum layout routes exactly (slow-ish:
+    ~10 s plan build)."""
+    import jax
+
+    from nifty_tpu.models.correlated_field import make_grid
+    from nifty_tpu.ops.mode_expand import build_expand_layout
+
+    n = 1280
+    g = make_grid((n, n), 1.0 / n, "fourier")
+    pd = np.asarray(g.harmonic_grid.power_distributor, dtype=np.int64)
+    core = pd[tuple(slice(0, s // 2 + 1) for s in pd.shape)]
+    packed, layout = build_expand_layout(
+        core, int(g.harmonic_grid.mode_lengths.size)
+    )
+    idx = np.asarray(packed).ravel()
+    plan = build_expand_plan(idx, layout.n_unique)
+    rng = np.random.default_rng(0)
+    tab = rng.standard_normal(layout.n_unique)
+    assert np.abs(simulate_forward(plan, tab) - tab[idx]).max() == 0.0
+    cot = rng.standard_normal(idx.size)
+    ref = np.zeros(layout.n_unique)
+    np.add.at(ref, idx, cot)
+    err = np.abs(simulate_transpose(plan, cot) - ref).max()
+    assert err < 1e-10 * np.abs(ref).max()
