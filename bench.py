@@ -31,7 +31,7 @@ from jax import random
 # (de)serialization through the tunneled TPU plugin takes minutes and can
 # hang (measured: 10 s compile without the cache, 359 s with).
 
-TIME_BUDGET_S = 420.0
+TIME_BUDGET_S = 560.0
 _T0 = time.time()
 
 # (shape, baseline_ms, n_mode_knots, chain_k): cheap-to-compile rows first
@@ -46,9 +46,12 @@ _T0 = time.time()
 # documented default for >=2048^2 grids.
 SIZES = [
     ((1280, 1280), 1.5, 64, 256),
-    ((1280, 1280), 1.5, None, 64),
     ((4096, 4096), 12.0, 64, 16),
     ((10240, 10240), 65.0, 64, 8),
+    # exact rows last: the Pallas expansion network pays a one-time
+    # ~4 min Mosaic-backend warm-up through the tunneled compile helper,
+    # and the cheap rows must bank first
+    ((1280, 1280), 1.5, None, 64),
 ]
 
 
@@ -172,8 +175,10 @@ def main():
             f" {time.time() - _T0:.0f}s)",
             file=sys.stderr,
         )
-        # emit best-so-far immediately — a timeout kill at a larger size
-        # must not lose the result (last stdout line wins)
+        # emit the row and a refreshed composite immediately — a timeout
+        # kill at a later size must not lose the banked rows, and the
+        # recorded headline (last stdout line) must always be the
+        # composite over everything completed so far
         print(
             json.dumps(
                 {
@@ -185,22 +190,22 @@ def main():
             ),
             flush=True,
         )
+        geo = float(np.exp(np.mean(np.log(ratios))))
+        print(
+            json.dumps(
+                {
+                    "metric": "cf2d_poisson_metric_apply_geomean["
+                    + ",".join(names)
+                    + "]",
+                    "value": round(geo, 3),
+                    "unit": "x_vs_A100_geomean",
+                    "vs_baseline": round(geo, 3),
+                }
+            ),
+            flush=True,
+        )
     if not ratios:
         raise SystemExit("benchmark failed at every size")
-    geo = float(np.exp(np.mean(np.log(ratios))))
-    print(
-        json.dumps(
-            {
-                "metric": "cf2d_poisson_metric_apply_geomean["
-                + ",".join(names)
-                + "]",
-                "value": round(geo, 3),
-                "unit": "x_vs_A100_geomean",
-                "vs_baseline": round(geo, 3),
-            }
-        ),
-        flush=True,
-    )
 
 
 if __name__ == "__main__":

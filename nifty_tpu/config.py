@@ -28,11 +28,21 @@ from __future__ import annotations
 _config = {
     "hartley_convention": "canonical_hartley",
     "fft_impl": "auto",
+    # exact-spectrum expansion through the Clos-routed Pallas shuffle
+    # network (ops/route.py + ops/pallas_expand.py) instead of XLA's
+    # scalar gather path.  "auto": enabled on TPU for layouts up to
+    # `expand_network_max` packed indices (the offline router is
+    # O(E log 128) in python — ~8 s at 1280²); "off" disables;
+    # "interpret" forces it on any backend through the Pallas
+    # interpreter (tests).
+    "expand_network": "auto",
+    "expand_network_max": 700_000,
 }
 
 _VALID = {
     "hartley_convention": ("canonical_hartley", "non_canonical_hartley"),
     "fft_impl": ("auto", "xla", "matmul", "splitreal", "pallas"),
+    "expand_network": ("auto", "off", "interpret"),
 }
 
 __all__ = ["update", "_config"]

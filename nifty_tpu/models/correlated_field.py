@@ -49,6 +49,24 @@ __all__ = [
 # --- mode distributors -------------------------------------------------------
 
 
+def _maybe_enable_network_expand(layout, packed):
+    """Route this layout's exact-spectrum expansion through the Pallas
+    Clos network when configured and worthwhile (see ``config.py``).
+    The XLA scalar-gather path stays the fallback everywhere else."""
+    from ..config import _config
+
+    mode = _config.get("expand_network", "auto")
+    n_packed = int(np.prod(layout.packed_shape))
+    if mode == "off" or n_packed > int(_config.get("expand_network_max", 0)):
+        return
+    interpret = mode == "interpret"
+    if mode == "auto" and jax.default_backend() != "tpu":
+        return
+    from ..ops.mode_expand import enable_network_expand
+
+    enable_network_expand(layout, packed, interpret=interpret)
+
+
 def _unique_mode_distributor(m_length, uniqueness_rtol=1e-12):
     """Bin harmonic modes by (tolerantly) unique |k|.
 
@@ -1183,6 +1201,7 @@ class CorrelatedFieldMaker:
                 packed, layout = build_expand_layout(
                     core, int(g.harmonic_grid.mode_lengths.size)
                 )
+                _maybe_enable_network_expand(layout, packed)
                 distributors.append(packed)
                 dist_full_shapes.append(tuple(pd.shape))
                 dist_layouts.append(layout)

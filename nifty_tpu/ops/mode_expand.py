@@ -34,12 +34,43 @@ import jax
 import numpy as np
 from jax import numpy as jnp
 
-__all__ = ["build_expand_layout", "mode_expand", "ExpandLayout"]
+__all__ = [
+    "build_expand_layout",
+    "mode_expand",
+    "ExpandLayout",
+    "enable_network_expand",
+]
 
 ExpandLayout = namedtuple(
     "ExpandLayout",
     ("kind", "core_shape", "packed_shape", "n_unique"),
 )
+
+# Clos-network plans (ops/route.py) keyed by layout: when registered, the
+# packed gather/scatter of that layout runs through the Pallas shuffle
+# cascade (ops/pallas_expand.py) instead of XLA's scalar gather path.
+_NETWORK_PLANS: dict = {}
+
+
+def _plan_key(layout):
+    return (layout.kind, layout.core_shape, layout.n_unique)
+
+
+def enable_network_expand(layout, packed_idx, *, interpret=False, plan=None):
+    """Build (or register) a routing plan so this layout's expansion runs
+    on the Pallas network.  Idempotent; returns the plan."""
+    key = _plan_key(layout)
+    entry = _NETWORK_PLANS.get(key)
+    if entry is None:
+        if plan is None:
+            from .route import build_expand_plan
+
+            plan = build_expand_plan(
+                np.asarray(packed_idx).ravel(), layout.n_unique
+            )
+        entry = (plan, bool(interpret))
+        _NETWORK_PLANS[key] = entry
+    return entry[0]
 
 
 def _rfp_index_table(core: np.ndarray) -> np.ndarray:
@@ -153,6 +184,17 @@ def _fold_rfp2(cot, layout, batched):
 def _expand_impl(tab, packed_idx, *, layout):
     """tab (U,) or (U, B) -> core_shape or core_shape + (B,)."""
     single = tab.ndim == 1
+    entry = _NETWORK_PLANS.get(_plan_key(layout))
+    if entry is not None and single and tab.dtype == jnp.float32:
+        from .pallas_expand import expand_forward
+
+        plan, interp = entry
+        G = expand_forward(plan, tab, interpret=interp).reshape(
+            layout.packed_shape
+        )
+        if layout.kind == "rfp2":
+            return _unpack_rfp2(G[..., None], layout, batched=True)[..., 0]
+        return G
     t2 = tab[:, None] if single else tab
     if t2.shape[-1] < 2:
         # the >=2-wide slice gather path is ~3x faster per index even when
@@ -187,6 +229,15 @@ def _expand_transpose(cot, tab, packed_idx, *, layout):
         R_cot = _fold_rfp2(c, layout, batched=True)
     else:
         R_cot = c
+    entry = _NETWORK_PLANS.get(_plan_key(layout))
+    if entry is not None and single and R_cot.dtype == jnp.float32:
+        from .pallas_expand import expand_transpose
+
+        plan, interp = entry
+        out = expand_transpose(
+            plan, R_cot[..., 0].reshape(-1), interpret=interp
+        )
+        return out, None
     B = R_cot.shape[-1]
     idx_flat = packed_idx.ravel()
     if B == 1:

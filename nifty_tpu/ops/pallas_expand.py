@@ -37,7 +37,9 @@ def _ttr(x, T):
 
 
 def _taa(x, idx):
-    return jnp.take_along_axis(x, idx, axis=1)
+    # index tables ship as int8 (4x smaller compile payload through the
+    # tunneled backend); widen in-register before the lane gather
+    return jnp.take_along_axis(x, idx.astype(jnp.int32), axis=1)
 
 
 def _tile_roll(x, delta):
@@ -49,11 +51,19 @@ def _tile_roll(x, delta):
 
 def _bal_ranges(plan):
     """Per source vreg w, the (static) range of dest vregs v with
-    bal_base == w — used by the balance adjoint."""
+    bal_base == w — used by the balance adjoint.  Only vregs with a
+    nonzero one-hot block count (padding vregs carry base 0 out of
+    order, so no sortedness may be assumed)."""
     base = np.asarray(plan.bal_base)
+    used = plan.bal_G.reshape(base.size, -1).any(axis=1)
     n_src = plan.U_rows // 8 + 2
-    starts = np.searchsorted(base, np.arange(n_src), side="left")
-    ends = np.searchsorted(base, np.arange(n_src), side="right")
+    starts = np.zeros(n_src, np.int64)
+    ends = np.zeros(n_src, np.int64)
+    for w in range(n_src):
+        vs = np.where(used & (base == w))[0]
+        if vs.size:
+            assert vs.max() - vs.min() + 1 == vs.size, "ranges not contiguous"
+            starts[w], ends[w] = vs.min(), vs.max() + 1
     return starts, ends, n_src
 
 
@@ -82,6 +92,7 @@ def forward_fn(plan, tab_rows, *, interpret=False):
         X1 = jax.lax.dot_general(
             g_ref[:], pairs, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ).reshape(H, C)
         X2 = _taa(X1, s1_ref[:])
         MT = _ttr(X2, T)
@@ -89,7 +100,7 @@ def forward_fn(plan, tab_rows, *, interpret=False):
 
     def kernel_b(mt_ref, mv_ref, m3_ref, s3_ref, out_ref):
         MT = mt_ref[:]
-        mv = mv_ref[:]
+        mv = mv_ref[:].astype(jnp.int32)
         acc = jnp.zeros_like(MT)
         for d in range(T):
             acc = jnp.where(mv == d, _tile_roll(MT, d), acc)
@@ -102,8 +113,8 @@ def forward_fn(plan, tab_rows, *, interpret=False):
         (
             tab_rows,
             jnp.asarray(plan.bal_G),
-            jnp.asarray(plan.s1_idx),
-            jnp.asarray(plan.mini_s1),
+            jnp.asarray(plan.s1_idx, jnp.int8),
+            jnp.asarray(plan.mini_s1, jnp.int8),
         ),
         (H, C),
         interpret,
@@ -112,9 +123,9 @@ def forward_fn(plan, tab_rows, *, interpret=False):
         kernel_b,
         (
             mt,
-            jnp.asarray(plan.move),
-            jnp.asarray(plan.mini_s3),
-            jnp.asarray(plan.s3_idx),
+            jnp.asarray(plan.move, jnp.int8),
+            jnp.asarray(plan.mini_s3, jnp.int8),
+            jnp.asarray(plan.s3_idx, jnp.int8),
         ),
         (H, C),
         interpret,
@@ -132,7 +143,7 @@ def transpose_fn(plan, cot_rows, *, interpret=False):
         X3 = _taa(X4, i3_ref[:])
         MT3 = _ttr(X3, T)
         MT2 = _taa(MT3, im3_ref[:])
-        imv = imv_ref[:]
+        imv = imv_ref[:].astype(jnp.int32)
         acc = jnp.zeros_like(MT2)
         for d in range(T):
             acc = jnp.where(imv == d, _tile_roll(MT2, -d), acc)
@@ -146,7 +157,7 @@ def transpose_fn(plan, cot_rows, *, interpret=False):
         X2 = _ttr(X2, T)
         X1c = jnp.zeros_like(X2)
         for l_ref in s1t_refs:
-            idx = l_ref[:]
+            idx = l_ref[:].astype(jnp.int32)
             vals = _taa(X2, jnp.maximum(idx, 0))
             X1c = X1c + jnp.where(idx >= 0, vals, 0.0)
         # balance adjoint: per dest vreg a (16, C) contribution at rows
@@ -155,6 +166,7 @@ def transpose_fn(plan, cot_rows, *, interpret=False):
             g_ref[:], X1c.reshape(H // 8, 8, C),
             (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (nv, 16, C)
         rows = []
         zero = jnp.zeros((8, C), jnp.float32)
@@ -172,9 +184,9 @@ def transpose_fn(plan, cot_rows, *, interpret=False):
         kernel_a,
         (
             cot_rows,
-            jnp.asarray(plan.inv_s3),
-            jnp.asarray(plan.inv_mini_s3),
-            jnp.asarray(plan.inv_move),
+            jnp.asarray(plan.inv_s3, jnp.int8),
+            jnp.asarray(plan.inv_mini_s3, jnp.int8),
+            jnp.asarray(plan.inv_move, jnp.int8),
         ),
         (H, C),
         interpret,
@@ -183,41 +195,68 @@ def transpose_fn(plan, cot_rows, *, interpret=False):
         kernel_b,
         (
             mt,
-            jnp.asarray(plan.inv_mini_s1),
+            jnp.asarray(plan.inv_mini_s1, jnp.int8),
             jnp.asarray(plan.bal_G),
         )
-        + tuple(jnp.asarray(plan.s1t_idx[l]) for l in range(plan.fanout)),
+        + tuple(jnp.asarray(plan.s1t_idx[l], jnp.int8) for l in range(plan.fanout)),
         (n_src * 8, C),
         interpret,
     )
 
 
+# Glue around the kernels is deliberately SCATTER-FREE on every tensor
+# data-connected to a pallas_call (concat-pad + mask-multiply + slices):
+# index-array scatters wired directly into/out of the Mosaic custom calls
+# miscompiled on v5e (silent corruption of the kernel result — an
+# XLA:TPU buffer interaction; reproduced and bisected on-chip).  The side
+# path's scatters operate on fresh zero operands only and join through
+# elementwise adds, a pattern verified safe.
+_side_mask_cache: dict = {}
+
+
+def _side_mask(plan):
+    m = _side_mask_cache.get(id(plan))
+    if m is None:
+        m = np.ones(plan.P, np.float32)
+        m[plan.side_pos] = 0.0
+        _side_mask_cache[id(plan)] = m
+    return jnp.asarray(m)  # numpy cached; device constant per trace
+
+
 def expand_forward(plan, tab, *, interpret=False):
     """out (P,) = tab[idx] — Pallas network + XLA side path."""
-    # pad the row-matrix view to a vreg multiple so the balance stage's
-    # static 16-row pair slices stay in bounds
-    n_rows = 8 * -(-plan.U_rows // 8)
-    tr = jnp.zeros((n_rows * C,), jnp.float32).at[: plan.U].set(tab)
+    # pad the row-matrix view so the balance stage's static 16-row pair
+    # slices stay in bounds (bases are clamped to max_src_vreg - 2)
+    n_rows = 8 * max(-(-plan.U_rows // 8), 2)
+    tr = jnp.concatenate(
+        [tab.astype(jnp.float32), jnp.zeros(n_rows * C - plan.U, jnp.float32)]
+    )
     X4 = forward_fn(plan, tr.reshape(-1, C), interpret=interpret)
     out = X4.reshape(-1)[: plan.P]
     if plan.side_tab.size:
         side_vals = tab[jnp.asarray(plan.side_tab)]
-        out = out.at[jnp.asarray(plan.side_pos)].set(
-            side_vals[jnp.asarray(plan.side_src)]
-        )
+        side_dense = jnp.zeros((plan.P,), jnp.float32).at[
+            jnp.asarray(plan.side_pos)
+        ].set(side_vals[jnp.asarray(plan.side_src)].astype(jnp.float32))
+        out = out * _side_mask(plan) + side_dense
     return out
 
 
 def expand_transpose(plan, cot, *, interpret=False):
     """tab_cot (U,) = scatter-add of cot (P,)."""
-    cpad = jnp.zeros((plan.H * C,), jnp.float32).at[: plan.P].set(cot)
-    if plan.side_tab.size:
-        cpad = cpad.at[jnp.asarray(plan.side_pos)].set(0.0)
+    cot = cot.astype(jnp.float32)
+    cin = cot * _side_mask(plan) if plan.side_tab.size else cot
+    cpad = jnp.concatenate(
+        [cin, jnp.zeros(plan.H * C - plan.P, jnp.float32)]
+    )
     X0 = transpose_fn(plan, cpad.reshape(plan.H, C), interpret=interpret)
     tab_cot = X0.reshape(-1)[: plan.U]
     if plan.side_tab.size:
         side_sum = jnp.zeros((plan.side_tab.size,), jnp.float32).at[
             jnp.asarray(plan.side_src)
         ].add(cot[jnp.asarray(plan.side_pos)])
-        tab_cot = tab_cot.at[jnp.asarray(plan.side_tab)].add(side_sum)
+        side_dense = jnp.zeros((plan.U,), jnp.float32).at[
+            jnp.asarray(plan.side_tab)
+        ].add(side_sum)
+        tab_cot = tab_cot + side_dense
     return tab_cot

@@ -45,11 +45,21 @@ def _run_step(shape, *, knots=64):
             n_mode_knots=knots,
         )
         cf = cfm.finalize(field_mesh=mesh)
-        data = jnp.zeros(shape, jnp.float32)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        # the data array must be born sharded — a replicated 4.3 GB
+        # constant per virtual device OOMs the host at 10⁹ dof
+        data_sharding = NamedSharding(
+            mesh, PartitionSpec("fx", *(None,) * (len(shape) - 1))
+        )
+        data = jax.jit(
+            lambda: jnp.zeros(shape, jnp.float32),
+            out_shardings=data_sharding,
+        )()
         lh = nt.Gaussian(data, noise_std_inv=lambda x: 3.0 * x).amend(cf)
         pos = nt.Vector(
-            jax.device_put(
-                jax.jit(cf.init)(random.PRNGKey(0)), cf.position_sharding()
+            jax.jit(cf.init, out_shardings=cf.position_sharding())(
+                random.PRNGKey(0)
             )
         )
         keys = random.split(random.PRNGKey(1), 1)
@@ -75,8 +85,31 @@ def _run_step(shape, *, knots=64):
             )
             return res.x, res.fun
 
-        new_pos, energy = jax.jit(step)(pos, keys)
+        compiled = jax.jit(step).lower(pos, keys).compile()
+        try:
+            ma = compiled.memory_analysis()
+            n_dev = len(jax.devices())
+            print(
+                f"memory analysis {shape}: args "
+                f"{ma.argument_size_in_bytes/2**30:.2f} GiB, temp "
+                f"{ma.temp_size_in_bytes/2**30:.2f} GiB, output "
+                f"{ma.output_size_in_bytes/2**30:.2f} GiB "
+                f"(per-device temp ≈ "
+                f"{ma.temp_size_in_bytes/n_dev/2**30:.2f} GiB)",
+                flush=True,
+            )
+        except Exception as e:  # noqa: BLE001 - diagnostics only
+            print(f"memory analysis unavailable: {e!r}", flush=True)
+        new_pos, energy = compiled(pos, keys)
         jax.block_until_ready(new_pos)
+        import resource
+
+        peak_gib = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
+        print(
+            f"peak host RSS {shape}: {peak_gib:.2f} GiB "
+            f"(≈ {peak_gib / len(jax.devices()):.2f} GiB per virtual device)",
+            flush=True,
+        )
         xi = new_pos.tree["cfxi"]
         assert xi.dtype == jnp.float32
         assert np.isfinite(float(energy))
@@ -97,3 +130,19 @@ def test_field_sharded_vi_step_smoke():
 def test_field_sharded_vi_step_1e8_dof():
     shape = (10240, 10240)  # 1.05e8 parameters
     _run_step(shape, knots=64)
+
+
+def test_field_sharded_vi_step_3d_smoke():
+    """3-D correlated field, domain-decomposed — the 10⁹-dof code path
+    at CI size."""
+    _run_step((128, 64, 16), knots=8)
+
+
+@pytest.mark.skipif(
+    not LARGE, reason="set NIFTY_TPU_LARGE=1 (needs ~90 GB, ~an hour)"
+)
+def test_field_sharded_vi_step_1e9_dof():
+    """The BASELINE.md north star: a ≥10⁹-parameter 3-D correlated field
+    runs a full domain-decomposed VI step (sampling CG + Newton-CG KL
+    step) on the 8-device mesh. 8192·8192·16 = 1.074e9 parameters."""
+    _run_step((8192, 8192, 16), knots=64)

@@ -100,3 +100,64 @@ def test_real_layout_1280_simulator():
     np.add.at(ref, idx, cot)
     err = np.abs(simulate_transpose(plan, cot) - ref).max()
     assert err < 1e-10 * np.abs(ref).max()
+
+
+def test_cf_exact_path_through_network_interpret():
+    """End-to-end: a small exact-spectrum CorrelatedField evaluated with
+    the expansion network (interpret mode) matches the XLA gather path —
+    forward, jvp, and vjp (the metric's ingredients)."""
+    import jax
+
+    import nifty_tpu as nt
+    from nifty_tpu import config as cfg
+    from nifty_tpu.ops import mode_expand as me
+
+    def build():
+        cfm = nt.CorrelatedFieldMaker("cf")
+        cfm.set_amplitude_total_offset(offset_mean=1.0, offset_std=(1e-1, 3e-2))
+        cfm.add_fluctuations(
+            (48, 48),
+            distances=1.0 / 48,
+            fluctuations=(1.0, 5e-1),
+            loglogavgslope=(-3.0, 2e-1),
+            flexibility=(1e0, 2e-1),
+        )
+        return cfm.finalize()
+
+    with jax.enable_x64(False):
+        cf_ref = build()
+        from jax import random
+
+        pos = cf_ref.init(random.PRNGKey(0))
+        tan = cf_ref.init(random.PRNGKey(1))
+        out_ref = np.asarray(cf_ref(pos))
+        _, jvp_ref = jax.jvp(cf_ref, (pos,), (tan,))
+        _, vjpf = jax.vjp(cf_ref, pos)
+        cot = random_cot = jnp.asarray(
+            np.random.default_rng(2).standard_normal(out_ref.shape),
+            jnp.float32,
+        )
+        vjp_ref = vjpf(cot)[0]
+
+        cfg.update("expand_network", "interpret")
+        try:
+            cf_net = build()
+            assert me._NETWORK_PLANS, "network plan was not registered"
+            out_net = np.asarray(cf_net(pos))
+            np.testing.assert_allclose(out_net, out_ref, atol=2e-5)
+            _, jvp_net = jax.jvp(cf_net, (pos,), (tan,))
+            np.testing.assert_allclose(
+                np.asarray(jvp_net), np.asarray(jvp_ref), atol=2e-5
+            )
+            _, vjpf_net = jax.vjp(cf_net, pos)
+            vjp_net = vjpf_net(cot)[0]
+            for k in vjp_ref:
+                np.testing.assert_allclose(
+                    np.asarray(vjp_net[k]),
+                    np.asarray(vjp_ref[k]),
+                    atol=2e-4,
+                    err_msg=k,
+                )
+        finally:
+            cfg.update("expand_network", "auto")
+            me._NETWORK_PLANS.clear()
