@@ -45,13 +45,13 @@ _T0 = time.time()
 # statistically equivalent prior — tests/test_knot_equivalence.py), the
 # documented default for >=2048^2 grids.
 SIZES = [
+    # cheapest row first (banks a result + warms the backend), then the
+    # exact row (Pallas expansion network; routing-plan build ~10 s and
+    # possibly a Mosaic-backend warm-up), then the large knot rows
     ((1280, 1280), 1.5, 64, 256),
+    ((1280, 1280), 1.5, None, 64),
     ((4096, 4096), 12.0, 64, 16),
     ((10240, 10240), 65.0, 64, 8),
-    # exact rows last: the Pallas expansion network pays a one-time
-    # ~4 min Mosaic-backend warm-up through the tunneled compile helper,
-    # and the cheap rows must bank first
-    ((1280, 1280), 1.5, None, 64),
 ]
 
 

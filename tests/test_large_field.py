@@ -64,7 +64,7 @@ def _run_step(shape, *, knots=64):
         )
         keys = random.split(random.PRNGKey(1), 1)
 
-        def step(pos, keys):
+        def step(lh, pos, keys):
             draw = partial(
                 nt.draw_linear_residual,
                 lh,
@@ -85,7 +85,7 @@ def _run_step(shape, *, knots=64):
             )
             return res.x, res.fun
 
-        compiled = jax.jit(step).lower(pos, keys).compile()
+        compiled = jax.jit(step).lower(lh, pos, keys).compile()
         try:
             ma = compiled.memory_analysis()
             n_dev = len(jax.devices())
@@ -100,7 +100,7 @@ def _run_step(shape, *, knots=64):
             )
         except Exception as e:  # noqa: BLE001 - diagnostics only
             print(f"memory analysis unavailable: {e!r}", flush=True)
-        new_pos, energy = compiled(pos, keys)
+        new_pos, energy = compiled(lh, pos, keys)
         jax.block_until_ready(new_pos)
         import resource
 
