@@ -185,8 +185,9 @@ def _legendre_contract(
             dfac_next[l0:l1],
         )
         carry, lam = lax.scan(step, carry, xs)  # lam: (l1-l0, n_rings, mmax+1)
-        f_c = f_c + jnp.einsum("lrm,lm->rm", lam, c_re[l0:l1])
-        f_s = f_s + jnp.einsum("lrm,lm->rm", lam, c_im[l0:l1])
+        hp = lax.Precision.HIGHEST
+        f_c = f_c + jnp.einsum("lrm,lm->rm", lam, c_re[l0:l1], precision=hp)
+        f_s = f_s + jnp.einsum("lrm,lm->rm", lam, c_im[l0:l1], precision=hp)
     return f_c, f_s
 
 
@@ -271,18 +272,19 @@ def _cap_synthesis(f_c, f_s, ring_idx, nphi, phi0, mmax, w_np, chunk=8):
         a2 = jnp.asarray(ang2_np[r0:r1], dtype)[:, None, :]
         c1 = C1[r0:r1]
         c2 = C2[r0:r1]
+        hp = lax.Precision.HIGHEST
         t1c = jnp.cos(m1 * a1)
         t1s = jnp.sin(m1 * a1)
-        zc = jnp.einsum("cns,csl->cnl", c1, t1c) - jnp.einsum(
-            "cns,csl->cnl", c2, t1s
+        zc = jnp.einsum("cns,csl->cnl", c1, t1c, precision=hp) - jnp.einsum(
+            "cns,csl->cnl", c2, t1s, precision=hp
         )
-        zs = jnp.einsum("cns,csl->cnl", c1, t1s) + jnp.einsum(
-            "cns,csl->cnl", c2, t1c
+        zs = jnp.einsum("cns,csl->cnl", c1, t1s, precision=hp) + jnp.einsum(
+            "cns,csl->cnl", c2, t1c, precision=hp
         )
         t2c = jnp.cos(m2 * a2)
         t2s = jnp.sin(m2 * a2)
-        vals = jnp.einsum("cnl,cnl->cl", zc, t2c) - jnp.einsum(
-            "cnl,cnl->cl", zs, t2s
+        vals = jnp.einsum("cnl,cnl->cl", zc, t2c, precision=hp) - jnp.einsum(
+            "cnl,cnl->cl", zs, t2s, precision=hp
         )
         # ragged flatten: static per-ring slices, one final concatenate
         for c in range(r1 - r0):
@@ -451,8 +453,13 @@ def gauss_legendre_analysis(f, lmax: int, mmax=None):
     # m ≥ 1 columns carry ∮cos² dφ = π (not 2π): compensate by 2
     scale = np.full(mmax + 1, 2.0)
     scale[0] = 1.0
-    c_re = jnp.einsum("lrm,rm->lm", lam, g_c) * jnp.asarray(scale, dtype=dtype)
-    c_im = jnp.einsum("lrm,rm->lm", lam, g_s) * jnp.asarray(scale, dtype=dtype)
+    hp = lax.Precision.HIGHEST
+    c_re = jnp.einsum("lrm,rm->lm", lam, g_c, precision=hp) * jnp.asarray(
+        scale, dtype=dtype
+    )
+    c_im = jnp.einsum("lrm,rm->lm", lam, g_s, precision=hp) * jnp.asarray(
+        scale, dtype=dtype
+    )
     # Gauss-Legendre quadrature integrates dcosθ; the orthonormal-Y
     # normalization is already inside λ, so Σ_r wq λλ = δ/(2π)·... the
     # 2π φ-integral is in `ft`; collect into packed real alm
