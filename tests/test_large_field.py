@@ -85,9 +85,12 @@ def _run_step(shape, *, knots=64):
             )
             return res.x, res.fun
 
-        compiled = jax.jit(step).lower(lh, pos, keys).compile()
+        jstep = jax.jit(step)
+        new_pos, energy = jstep(lh, pos, keys)
+        jax.block_until_ready(new_pos)
         try:
-            ma = compiled.memory_analysis()
+            # same HLO → hits the in-process executable cache; stats only
+            ma = jstep.lower(lh, pos, keys).compile().memory_analysis()
             n_dev = len(jax.devices())
             print(
                 f"memory analysis {shape}: args "
@@ -100,8 +103,6 @@ def _run_step(shape, *, knots=64):
             )
         except Exception as e:  # noqa: BLE001 - diagnostics only
             print(f"memory analysis unavailable: {e!r}", flush=True)
-        new_pos, energy = compiled(lh, pos, keys)
-        jax.block_until_ready(new_pos)
         import resource
 
         peak_gib = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
