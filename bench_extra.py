@@ -207,9 +207,13 @@ def bench_icr(depth=6):
     _emit(f"icr_refine_depth{depth}_{int(npix_fine)}px", t * 1e3, "ms")
 
 
+def bench_sht256():
+    bench_sht(nside=256)
+
+
 def main():
     t0 = time.time()
-    for fn in (bench_sht, bench_vi_iteration, bench_nuts, bench_icr):
+    for fn in (bench_sht, bench_vi_iteration, bench_nuts, bench_icr, bench_sht256):
         try:
             fn()
         except Exception as e:  # noqa: BLE001
