@@ -65,6 +65,7 @@ from .model import (
     Initializer,
     LazyModel,
     Model,
+    RematModel,
     VModel,
     WrappedCall,
 )

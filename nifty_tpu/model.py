@@ -303,6 +303,31 @@ class ChainModel(Model):
         return f"ChainModel({self.outer!r}, {self.inner!r})"
 
 
+class RematModel(Model):
+    """Rematerialize the wrapped model under AD (``jax.checkpoint``).
+
+    Inside ``jvp``/``vjp`` — i.e. on the Fisher-metric hot path — the
+    model's intermediates (FFT stages, amplitude expansions) are
+    recomputed during the backward pass instead of kept live, trading
+    ~1 extra forward evaluation for a several-fold cut in peak memory.
+    Use for ≥10⁸-dof fields where the metric's residuals dominate HBM.
+    """
+
+    inner: Any = dataclasses.field(metadata=dict(static=False), default=None)
+
+    def __init__(self, inner):
+        self.inner = inner
+        super().__init__(domain=inner.domain, init=inner.init)
+
+    def __call__(self, x, **kw):
+        import jax
+
+        return jax.checkpoint(lambda m, y: m(y, **kw))(self.inner, x)
+
+    def __repr__(self):
+        return f"RematModel({self.inner!r})"
+
+
 def _is_int_or_none(x):
     return x is None or isinstance(x, int)
 

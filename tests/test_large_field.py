@@ -27,7 +27,7 @@ def _mesh():
     return Mesh(np.asarray(jax.devices()), ("fx",))
 
 
-def _run_step(shape, *, knots=64):
+def _run_step(shape, *, knots=64, remat=False):
     from functools import partial
 
     from nifty_tpu.optimize_kl import _kl_met, _kl_vg
@@ -45,6 +45,7 @@ def _run_step(shape, *, knots=64):
             n_mode_knots=knots,
         )
         cf = cfm.finalize(field_mesh=mesh)
+        fwd = nt.RematModel(cf) if remat else cf
         from jax.sharding import NamedSharding, PartitionSpec
 
         # the data array must be born sharded — a replicated 4.3 GB
@@ -56,7 +57,7 @@ def _run_step(shape, *, knots=64):
             lambda: jnp.zeros(shape, jnp.float32),
             out_shardings=data_sharding,
         )()
-        lh = nt.Gaussian(data, noise_std_inv=lambda x: 3.0 * x).amend(cf)
+        lh = nt.Gaussian(data, noise_std_inv=lambda x: 3.0 * x).amend(fwd)
         pos = nt.Vector(
             jax.jit(cf.init, out_shardings=cf.position_sharding())(
                 random.PRNGKey(0)
@@ -148,7 +149,7 @@ def test_field_sharded_vi_step_5e8_dof():
     virtual CPU device charges the full XLA temp arena, so fewer
     devices = less host memory; a real v5p slice has no such
     replication — see docs/design.md for the measured memory model)."""
-    _run_step((8192, 8192, 8), knots=64)
+    _run_step((8192, 8192, 8), knots=64, remat=True)
 
 
 @pytest.mark.skipif(
@@ -158,4 +159,4 @@ def test_field_sharded_vi_step_1e9_dof():
     """The BASELINE.md north star: a ≥10⁹-parameter 3-D correlated field
     runs a full domain-decomposed VI step (sampling CG + Newton-CG KL
     step) on the 8-device mesh. 8192·8192·16 = 1.074e9 parameters."""
-    _run_step((8192, 8192, 16), knots=64)
+    _run_step((8192, 8192, 16), knots=64, remat=True)
