@@ -46,12 +46,17 @@ _T0 = time.time()
 # documented default for >=2048^2 grids.
 SIZES = [
     # cheapest row first (banks a result + warms the backend), then the
-    # exact row (Pallas expansion network; routing-plan build ~10 s and
-    # possibly a Mosaic-backend warm-up), then the large knot rows
+    # exact rows (Pallas expansion network; native routing-plan build
+    # ~0.5 s at 1280² / ~17 s at 4096², plus the Mosaic compiles), then
+    # the large knot rows
     ((1280, 1280), 1.5, 64, 256),
     ((1280, 1280), 1.5, None, 64),
     ((4096, 4096), 12.0, 64, 16),
     ((10240, 10240), 65.0, 64, 8),
+    # the 4096²-exact row last: its setup is the longest (routing plan +
+    # two Mosaic compiles), and a budget cutoff must not cost the rows
+    # above their spot in the composite
+    ((4096, 4096), 12.0, None, 16),
 ]
 
 
@@ -206,50 +211,6 @@ def main():
         )
     if not ratios:
         raise SystemExit("benchmark failed at every size")
-    # extra rows (not part of the headline composite): the 4096² exact
-    # layout exceeds the expansion network's single-cascade capacity
-    # (2.1M packed indices) and runs the XLA gather path — reported for
-    # completeness; the grid-blocked network variant is future work
-    for shape, baseline_ms, knots, chain_k in [((4096, 4096), 12.0, None, 8)]:
-        if time.time() - _T0 > TIME_BUDGET_S * 0.85:
-            break
-        try:
-            lh, pos, tangent = build_likelihood(shape, n_mode_knots=knots)
-            t = time_apply(lh, pos, tangent, chain_k=chain_k)
-        except Exception as e:  # noqa: BLE001
-            print(f"bench: extra {shape} failed ({e!r})", file=sys.stderr)
-            continue
-        name = f"{shape[0]}x{shape[1]}_exact_extra"
-        print(
-            f"bench: {name}: {t * 1e3:.3f} ms"
-            f" ({baseline_ms / (t * 1e3):.3f}x A100)",
-            file=sys.stderr,
-        )
-        print(
-            json.dumps(
-                {
-                    "metric": f"cf2d_poisson_metric_apply_{name}",
-                    "value": round(t * 1e3, 3),
-                    "unit": "ms",
-                    "vs_baseline": round(baseline_ms / (t * 1e3), 3),
-                }
-            ),
-            flush=True,
-        )
-    # keep the recorded headline (last stdout line) = the composite
-    print(
-        json.dumps(
-            {
-                "metric": "cf2d_poisson_metric_apply_geomean["
-                + ",".join(names)
-                + "]",
-                "value": round(geo, 3),
-                "unit": "x_vs_A100_geomean",
-                "vs_baseline": round(geo, 3),
-            }
-        ),
-        flush=True,
-    )
 
 
 if __name__ == "__main__":

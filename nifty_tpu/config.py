@@ -31,12 +31,14 @@ _config = {
     # exact-spectrum expansion through the Clos-routed Pallas shuffle
     # network (ops/route.py + ops/pallas_expand.py) instead of XLA's
     # scalar gather path.  "auto": enabled on TPU for layouts up to
-    # `expand_network_max` packed indices (the offline router is
-    # O(E log 128) in python — ~8 s at 1280²); "off" disables;
-    # "interpret" forces it on any backend through the Pallas
-    # interpreter (tests).
+    # `expand_network_max` packed indices (the offline router runs the
+    # native Euler splitter: ~0.5 s at 1280², ~17 s at 4096²-exact);
+    # "off" disables; "interpret" forces it on any backend through the
+    # Pallas interpreter (tests).  The cap bounds per-kernel VMEM (the
+    # network tensors are O(P) and VMEM-resident; ~5M indices ≈ the
+    # 128 MB v5e VMEM).
     "expand_network": "auto",
-    "expand_network_max": 700_000,
+    "expand_network_max": 3_000_000,
 }
 
 _VALID = {

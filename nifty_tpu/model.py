@@ -317,7 +317,14 @@ class RematModel(Model):
 
     def __init__(self, inner):
         self.inner = inner
-        super().__init__(domain=inner.domain, init=inner.init)
+        # mirror ChainModel: only adopt the inner initializer when one is
+        # actually set, so LazyModel's lazy fallback applies otherwise
+        init = (
+            inner.init
+            if isinstance(inner, LazyModel) and inner._init is not NoValue
+            else NoValue
+        )
+        super().__init__(domain=inner.domain, init=init)
 
     def __call__(self, x, **kw):
         import jax

@@ -43,7 +43,7 @@ __all__ = [
 
 ExpandLayout = namedtuple(
     "ExpandLayout",
-    ("kind", "core_shape", "packed_shape", "n_unique"),
+    ("kind", "core_shape", "packed_shape", "n_unique", "idx_hash"),
 )
 
 # Clos-network plans (ops/route.py) keyed by layout: when registered, the
@@ -52,13 +52,26 @@ ExpandLayout = namedtuple(
 _NETWORK_PLANS: dict = {}
 
 
+def _idx_hash(core_idx: np.ndarray) -> str:
+    """Content hash of the index table — part of the layout (and hence of
+    the plan key), so two same-shape layouts with different index contents
+    can never alias each other's routing plans."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(str(core_idx.shape).encode())
+    h.update(np.ascontiguousarray(core_idx, dtype=np.int64).tobytes())
+    return h.hexdigest()[:16]
+
+
 def _plan_key(layout):
-    return (layout.kind, layout.core_shape, layout.n_unique)
+    return (layout.kind, layout.core_shape, layout.n_unique, layout.idx_hash)
 
 
 def enable_network_expand(layout, packed_idx, *, interpret=False, plan=None):
     """Build (or register) a routing plan so this layout's expansion runs
-    on the Pallas network.  Idempotent; returns the plan."""
+    on the Pallas network.  Idempotent (refreshes the interpret flag);
+    returns the plan."""
     key = _plan_key(layout)
     entry = _NETWORK_PLANS.get(key)
     if entry is None:
@@ -69,8 +82,20 @@ def enable_network_expand(layout, packed_idx, *, interpret=False, plan=None):
                 np.asarray(packed_idx).ravel(), layout.n_unique
             )
         entry = (plan, bool(interpret))
-        _NETWORK_PLANS[key] = entry
+    else:
+        entry = (entry[0], bool(interpret))
+    _NETWORK_PLANS[key] = entry
     return entry[0]
+
+
+def _active_plan(layout):
+    """The registered network plan for ``layout`` — or None when there is
+    none or the network is configured off."""
+    from ..config import _config
+
+    if _config.get("expand_network", "auto") == "off":
+        return None
+    return _NETWORK_PLANS.get(_plan_key(layout))
 
 
 def _rfp_index_table(core: np.ndarray) -> np.ndarray:
@@ -113,6 +138,7 @@ def build_expand_layout(core_idx: np.ndarray, n_unique: int):
                 core_shape=core_shape,
                 packed_shape=tuple(int(n) for n in R.shape),
                 n_unique=int(n_unique),
+                idx_hash=_idx_hash(R),
             ),
         )
     return (
@@ -122,6 +148,7 @@ def build_expand_layout(core_idx: np.ndarray, n_unique: int):
             core_shape=core_shape,
             packed_shape=core_shape,
             n_unique=int(n_unique),
+            idx_hash=_idx_hash(core_idx),
         ),
     )
 
@@ -184,7 +211,7 @@ def _fold_rfp2(cot, layout, batched):
 def _expand_impl(tab, packed_idx, *, layout):
     """tab (U,) or (U, B) -> core_shape or core_shape + (B,)."""
     single = tab.ndim == 1
-    entry = _NETWORK_PLANS.get(_plan_key(layout))
+    entry = _active_plan(layout)
     if entry is not None and single and tab.dtype == jnp.float32:
         from .pallas_expand import expand_forward
 
@@ -229,7 +256,7 @@ def _expand_transpose(cot, tab, packed_idx, *, layout):
         R_cot = _fold_rfp2(c, layout, batched=True)
     else:
         R_cot = c
-    entry = _NETWORK_PLANS.get(_plan_key(layout))
+    entry = _active_plan(layout)
     if entry is not None and single and R_cot.dtype == jnp.float32:
         from .pallas_expand import expand_transpose
 

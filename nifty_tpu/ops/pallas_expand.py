@@ -4,15 +4,20 @@ The forward kernel turns the per-unique-mode table into the packed
 expansion (``out[p] = tab[idx[p]]``); the transpose kernel is its exact
 adjoint (scatter-add).  Both are straight-line cascades of the TPU vector
 core's fast primitives — lane shuffles (``take_along_axis`` along lanes),
-(128,128) tile transposes, static tile rotations with masked selects, and
-batched one-hot MXU matmuls.  See :mod:`nifty_tpu.ops.route` for the
-design and the measured per-primitive costs that motivated it; the numpy
-simulator there executes the identical op sequence and is the correctness
-oracle (tests/test_pallas_expand.py).
+(128,128) tile transposes, tile rotations (``pltpu.roll`` with a dynamic
+shift inside a ``fori_loop``), and the masked roll butterfly for the
+balance stage.  See :mod:`nifty_tpu.ops.route` for the design and the
+measured per-primitive costs that motivated it; the numpy simulator there
+executes the identical op sequence and is the correctness oracle
+(tests/test_pallas_expand.py).
 
-Each direction is split into two ``pallas_call``s so VMEM holds only one
-stage's routing tables at a time (the 1.6 MB inter-stage tensor
-round-trips through HBM, ~2 µs).
+Every loop is compile-time bounded — O(log H) butterfly stages plus two
+``fori_loop``s — so the same kernels serve every layout size: the
+205k-index 1280² layout and the 2.1M-index 4096²-exact layout (H ≈ 20k
+rows, ~40 MB peak VMEM across the two calls) compile to the same program
+shape.  Each direction is split into two ``pallas_call``s so VMEM holds
+only one stage's routing tables at a time (the inter-stage tensor
+round-trips through HBM).
 """
 
 from __future__ import annotations
@@ -42,77 +47,98 @@ def _taa(x, idx):
     return jnp.take_along_axis(x, idx.astype(jnp.int32), axis=1)
 
 
-def _tile_roll(x, delta):
-    if delta == 0:
+def _roll_rows(x, k):
+    """Static roll-down by k rows (out[i] = x[i - k])."""
+    if k == 0:
         return x
-    k = delta * C
-    return jnp.concatenate([x[-k:], x[:-k]], axis=0)
+    _, pltpu = _pl()
+    return pltpu.roll(x, k, 0)
 
 
-def _bal_ranges(plan):
-    """Per source vreg w, the (static) range of dest vregs v with
-    bal_base == w — used by the balance adjoint.  Only vregs with a
-    nonzero one-hot block count (padding vregs carry base 0 out of
-    order, so no sortedness may be assumed)."""
-    base = np.asarray(plan.bal_base)
-    used = plan.bal_G.reshape(base.size, -1).any(axis=1)
-    n_src = plan.U_rows // 8 + 2
-    starts = np.zeros(n_src, np.int64)
-    ends = np.zeros(n_src, np.int64)
-    for w in range(n_src):
-        vs = np.where(used & (base == w))[0]
-        if vs.size:
-            assert vs.max() - vs.min() + 1 == vs.size, "ranges not contiguous"
-            starts[w], ends[w] = vs.min(), vs.max() + 1
-    return starts, ends, n_src
+def _lane_dtype(plan):
+    return jnp.int8 if plan.Tp <= C else jnp.int32
+
+
+def _tile_move(x, idx, T, Tp):
+    """Cross-tile movement: axis-rotate (T,128,128) → (128·128, Tp) so
+    the tile index lives on LANES, gather per row ((Tp/128)² clamped
+    shuffle+select passes — Mosaic's lane gather needs same-shape index
+    blocks), rotate back.  O(1) data passes in T; the naive
+    roll-and-select loop is O(T) (measured 50x slower at T=172)."""
+    if Tp > T:
+        x = jnp.concatenate([x, jnp.zeros(((Tp - T) * C, C), x.dtype)], 0)
+    Z = jnp.transpose(x.reshape(Tp, C, C), (1, 2, 0)).reshape(C * C, Tp)
+    nh = Tp // C
+    outs = []
+    for oh in range(nh):
+        io = idx[:, oh * C : (oh + 1) * C].astype(jnp.int32)
+        acc = jnp.zeros((C * C, C), x.dtype)
+        for sh in range(nh):
+            Zs = Z[:, sh * C : (sh + 1) * C]
+            g = jnp.take_along_axis(Zs, jnp.clip(io - sh * C, 0, C - 1), axis=1)
+            acc = jnp.where((io >= sh * C) & (io < (sh + 1) * C), g, acc)
+        outs.append(acc)
+    Z2 = outs[0] if nh == 1 else jnp.concatenate(outs, axis=1)
+    Xb = jnp.transpose(Z2.reshape(C, C, Tp), (2, 0, 1)).reshape(Tp * C, C)
+    return Xb[: T * C]
 
 
 def _vmem_call(kern, inputs, out_shape, interpret):
     pl, pltpu = _pl()
+    kw = {}
+    if not interpret:
+        try:
+            # raise the per-kernel VMEM budget: at the 2.1M-index layout
+            # the stage tensors + tables peak around 40 MB per call
+            kw["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 2**20
+            )
+        except (AttributeError, TypeError):  # pragma: no cover - older jax
+            pass
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
+        **kw,
     )(*inputs)
 
 
-def forward_fn(plan, tab_rows, *, interpret=False):
-    """tab_rows: ((U_rows + 2) * 8? , 128) zero-padded table rows.
+def forward_fn(plan, tab_pad, *, interpret=False):
+    """tab_pad: (H, 128) zero-padded table rows.
     Returns the (H, 128) network output (garbage in edge-less slots)."""
-    H, T = plan.H, plan.T
-    bal_base = [int(a) for a in plan.bal_base]
+    _, pltpu = _pl()
+    H, T, NB = plan.H, plan.T, plan.n_bits
 
-    def kernel_a(tab_ref, g_ref, s1_ref, m1_ref, out_ref):
-        X0 = tab_ref[:]
-        pairs = jnp.stack(
-            [X0[8 * a : 8 * a + 16] for a in bal_base]
-        )  # (nv, 16, C)
-        X1 = jax.lax.dot_general(
-            g_ref[:], pairs, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ).reshape(H, C)
-        X2 = _taa(X1, s1_ref[:])
+    def kernel_a(tab_ref, d_ref, s1_ref, m1_ref, out_ref):
+        d = d_ref[:]
+
+        # balance: masked roll butterfly, high bit first (collision-free
+        # by monotone 1-Lipschitz displacement — see ops/route.py).  A
+        # fori_loop with a dynamic-shift roll: the stage body compiles
+        # once, keeping Mosaic compile time flat in the network height.
+        def stage(i, Y):
+            b = NB - 1 - i
+            bit = jnp.bitwise_and(jnp.right_shift(d, b), 1) == 1
+            return jnp.where(bit, pltpu.roll(Y, jnp.left_shift(1, b), 0), Y)
+
+        Y = jax.lax.fori_loop(0, NB, stage, tab_ref[:])
+        X2 = _taa(Y, s1_ref[:])
         MT = _ttr(X2, T)
         out_ref[:] = _taa(MT, m1_ref[:])
 
-    def kernel_b(mt_ref, mv_ref, m3_ref, s3_ref, out_ref):
-        MT = mt_ref[:]
-        mv = mv_ref[:].astype(jnp.int32)
-        acc = jnp.zeros_like(MT)
-        for d in range(T):
-            acc = jnp.where(mv == d, _tile_roll(MT, d), acc)
-        MT3 = _taa(acc, m3_ref[:])
+    def kernel_b(mt_ref, ls_ref, m3_ref, s3_ref, out_ref):
+        MT2 = _tile_move(mt_ref[:], ls_ref[:], T, plan.Tp)
+        MT3 = _taa(MT2, m3_ref[:])
         X3 = _ttr(MT3, T)
         out_ref[:] = _taa(X3, s3_ref[:])
 
     mt = _vmem_call(
         kernel_a,
         (
-            tab_rows,
-            jnp.asarray(plan.bal_G),
+            tab_pad,
+            jnp.asarray(plan.bal_d[:, None], jnp.int32),
             jnp.asarray(plan.s1_idx, jnp.int8),
             jnp.asarray(plan.mini_s1, jnp.int8),
         ),
@@ -123,7 +149,7 @@ def forward_fn(plan, tab_rows, *, interpret=False):
         kernel_b,
         (
             mt,
-            jnp.asarray(plan.move, jnp.int8),
+            jnp.asarray(plan.lane_src, _lane_dtype(plan)),
             jnp.asarray(plan.mini_s3, jnp.int8),
             jnp.asarray(plan.s3_idx, jnp.int8),
         ),
@@ -134,51 +160,45 @@ def forward_fn(plan, tab_rows, *, interpret=False):
 
 def transpose_fn(plan, cot_rows, *, interpret=False):
     """cot_rows: (H, 128) cotangent (edge-less slots must be zero).
-    Returns (n_src * 8, 128) table-row cotangents."""
-    H, T = plan.H, plan.T
-    starts, ends, n_src = _bal_ranges(plan)
+    Returns (H, 128) table-row cotangents (rows >= U_rows are garbage
+    from the butterfly's padding region — slice to U in the caller)."""
+    _, pltpu = _pl()
+    H, T, NB = plan.H, plan.T, plan.n_bits
 
-    def kernel_a(cot_ref, i3_ref, im3_ref, imv_ref, out_ref):
+    def kernel_a(cot_ref, i3_ref, im3_ref, ld_ref, out_ref):
         X4 = cot_ref[:]
         X3 = _taa(X4, i3_ref[:])
         MT3 = _ttr(X3, T)
         MT2 = _taa(MT3, im3_ref[:])
-        imv = imv_ref[:].astype(jnp.int32)
-        acc = jnp.zeros_like(MT2)
-        for d in range(T):
-            acc = jnp.where(imv == d, _tile_roll(MT2, -d), acc)
-        out_ref[:] = acc
+        out_ref[:] = _tile_move(MT2, ld_ref[:], T, plan.Tp)
 
-    def kernel_b(mt_ref, im1_ref, g_ref, *rest):
-        s1t_refs = rest[:-1]
-        out_ref = rest[-1]
+    def kernel_b(mt_ref, im1_ref, d_ref, s1t_ref, out_ref):
         MT = mt_ref[:]
         X2 = _taa(MT, im1_ref[:])
         X2 = _ttr(X2, T)
-        X1c = jnp.zeros_like(X2)
-        for l_ref in s1t_refs:
-            idx = l_ref[:].astype(jnp.int32)
+
+        # σ1ᵀ: fanout masked shuffle-add layers, as a fori_loop over the
+        # stacked (fanout, H, C) table (compile-time O(1) in fanout, and
+        # no SSA temporary per layer — unrolled layers blew the register
+        # allocator with 210 MB of vmem spill slots at the 2.1M layout)
+        def layer(l, acc):
+            idx = s1t_ref[l].astype(jnp.int32)
             vals = _taa(X2, jnp.maximum(idx, 0))
-            X1c = X1c + jnp.where(idx >= 0, vals, 0.0)
-        # balance adjoint: per dest vreg a (16, C) contribution at rows
-        # [8a_v, 8a_v+16); regroup per source vreg with static ranges
-        contrib = jax.lax.dot_general(
-            g_ref[:], X1c.reshape(H // 8, 8, C),
-            (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (nv, 16, C)
-        rows = []
-        zero = jnp.zeros((8, C), jnp.float32)
-        for w in range(n_src):
-            acc = zero
-            for v in range(starts[w], ends[w]):
-                acc = acc + contrib[v, :8]
-            if w >= 1:
-                for v in range(starts[w - 1], ends[w - 1]):
-                    acc = acc + contrib[v, 8:]
-            rows.append(acc)
-        out_ref[:] = jnp.concatenate(rows, axis=0)
+            return acc + jnp.where(idx >= 0, vals, 0.0)
+
+        X1c = jax.lax.fori_loop(0, plan.fanout, layer, jnp.zeros_like(X2))
+
+        # balance adjoint: reversed roll butterfly, low bit first
+        d = d_ref[:]
+
+        def stage(b, c):
+            bit = jnp.bitwise_and(jnp.right_shift(d, b), 1) == 1
+            kept = jnp.where(bit, 0.0, c)
+            moved = jnp.where(bit, c, 0.0)
+            # roll up by 2^b rows (out[i] = moved[i + 2^b])
+            return kept + pltpu.roll(moved, H - jnp.left_shift(1, b), 0)
+
+        out_ref[:] = jax.lax.fori_loop(0, NB, stage, X1c)
 
     mt = _vmem_call(
         kernel_a,
@@ -186,7 +206,7 @@ def transpose_fn(plan, cot_rows, *, interpret=False):
             cot_rows,
             jnp.asarray(plan.inv_s3, jnp.int8),
             jnp.asarray(plan.inv_mini_s3, jnp.int8),
-            jnp.asarray(plan.inv_move, jnp.int8),
+            jnp.asarray(plan.lane_dst, _lane_dtype(plan)),
         ),
         (H, C),
         interpret,
@@ -196,10 +216,10 @@ def transpose_fn(plan, cot_rows, *, interpret=False):
         (
             mt,
             jnp.asarray(plan.inv_mini_s1, jnp.int8),
-            jnp.asarray(plan.bal_G),
-        )
-        + tuple(jnp.asarray(plan.s1t_idx[l], jnp.int8) for l in range(plan.fanout)),
-        (n_src * 8, C),
+            jnp.asarray(plan.bal_d[:, None], jnp.int32),
+            jnp.asarray(plan.s1t_idx, jnp.int8),
+        ),
+        (H, C),
         interpret,
     )
 
@@ -211,27 +231,26 @@ def transpose_fn(plan, cot_rows, *, interpret=False):
 # XLA:TPU buffer interaction; reproduced and bisected on-chip).  The side
 # path's scatters operate on fresh zero operands only and join through
 # elementwise adds, a pattern verified safe.
-_side_mask_cache: dict = {}
 
 
 def _side_mask(plan):
-    m = _side_mask_cache.get(id(plan))
+    # cached ON the plan object (frozen dataclass -> object.__setattr__):
+    # lifetime-tied, so a GC'd plan can never leak its mask to a new plan
+    # allocated at the same id()
+    m = getattr(plan, "_side_mask_np", None)
     if m is None:
         m = np.ones(plan.P, np.float32)
         m[plan.side_pos] = 0.0
-        _side_mask_cache[id(plan)] = m
+        object.__setattr__(plan, "_side_mask_np", m)
     return jnp.asarray(m)  # numpy cached; device constant per trace
 
 
 def expand_forward(plan, tab, *, interpret=False):
     """out (P,) = tab[idx] — Pallas network + XLA side path."""
-    # pad the row-matrix view so the balance stage's static 16-row pair
-    # slices stay in bounds (bases are clamped to max_src_vreg - 2)
-    n_rows = 8 * max(-(-plan.U_rows // 8), 2)
     tr = jnp.concatenate(
-        [tab.astype(jnp.float32), jnp.zeros(n_rows * C - plan.U, jnp.float32)]
+        [tab.astype(jnp.float32), jnp.zeros(plan.H * C - plan.U, jnp.float32)]
     )
-    X4 = forward_fn(plan, tr.reshape(-1, C), interpret=interpret)
+    X4 = forward_fn(plan, tr.reshape(plan.H, C), interpret=interpret)
     out = X4.reshape(-1)[: plan.P]
     if plan.side_tab.size:
         side_vals = tab[jnp.asarray(plan.side_tab)]

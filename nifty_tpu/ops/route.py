@@ -13,12 +13,25 @@ leans on fast GPU gathers instead: ``nifty/re/correlated_field.py:
 This module computes — at model-build time, in numpy — static routing
 tables expressing the gather as a fixed cascade of those primitives:
 
-    balance   duplicate hot table rows (batched one-hot MXU matmul;
-              row duplication is lane-independent, so it is a matmul)
+    balance   duplicate hot table rows.  The copy map ``src_of_copy`` is
+              monotone with increments in {0, 1}, so the per-row
+              displacement d[i] = i − s[i] is monotone and 1-Lipschitz;
+              the duplication then runs as a ⌈log₂ max d⌉-stage masked
+              roll butterfly (stage b, high→low: rows whose displacement
+              has bit b set take the value 2^b rows up).  Monotonicity +
+              the Lipschitz bound make every stage collision-free —
+              d[i−2^b] and d[i] share all bits above b whenever bit b of
+              d[i] is set — so the cascade is exact, compile-time O(log)
+              and contains no unrolled per-row work.
     stage 1   within-row lane shuffle: place each element at its color
     T         (128,128) tile transpose
     mini 1    within-row lane shuffle (mini-Clos stage 1 over tiles)
-    rotate    cross-tile movement: sum over δ of (move==δ)·tile-roll-δ
+    move      cross-tile movement.  The (T, k, κ) tensor is axis-rotated
+              to (k·128+κ, tile) — tile index on LANES — where the
+              movement is a per-row lane gather ((Tp/128)² shuffle+select
+              passes), then rotated back.  O(1) passes in T, vs the O(T)
+              roll-and-select loop of the naive rotation (measured 50x
+              at T=172: 116 µs vs ~5 ms for the full middle stage).
     mini 3    within-row lane shuffle (mini-Clos stage 3)
     T⁻¹       tile transpose back
     stage 3   within-row lane shuffle: final column placement
@@ -29,13 +42,14 @@ balancing, so its edges 128-color with no color repeated at any row
 (computed exactly by repeated Euler splitting, O(E log 128)); the same
 argument applies per color to the tile→tile mini graph.  Elements with
 multiplicity > `hot_cap` bypass the network through a tiny XLA side
-gather so balancing stays bounded.
+gather so balancing stays bounded (with the defaults nothing is hot on
+the isotropic-grid layouts: hot_cap·fanout ≥ max multiplicity).
 
 The transpose (scatter-add) reuses the same decomposition backwards:
 every stage is per-row invertible except stage 1, whose adjoint is a
 small number of masked shuffle-adds (`fanout` layers), and balance,
-whose adjoint is the transposed one-hot matmul plus overlapped
-window adds.
+whose adjoint runs the roll butterfly in reverse (masked roll-up adds
+— a contiguous segment sum, since ``src_of_copy`` is monotone).
 """
 
 from __future__ import annotations
@@ -99,12 +113,25 @@ def _euler_split_half(src, dst, n_left, n_right):
 
 def euler_color(src, dst, n_left, n_right, n_colors=C):
     """Proper edge coloring of a bipartite multigraph with `n_colors`
-    (a power of two) colors; max degree must be ≤ n_colors."""
+    (a power of two) colors; max degree must be ≤ n_colors.  Runs the
+    native (C++) Euler splitter when available — identical algorithm,
+    ~50x faster at millions of edges — with this Python traversal as
+    the fallback."""
     assert n_colors & (n_colors - 1) == 0
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     E = src.size
     nl = nr = max(n_left, n_right)
+    try:
+        from ..native.router import euler_color_native
+
+        out = euler_color_native(src, dst, nl, n_colors)
+    except Exception:  # pragma: no cover - native build issues
+        out = None
+    if out is not None:
+        assert _coloring_ok(src, out), "left coloring clash"
+        assert _coloring_ok(dst, out), "right coloring clash"
+        return out
     ldeg = np.bincount(src, minlength=nl)
     rdeg = np.bincount(dst, minlength=nr)
     if (ldeg.max(initial=0) > n_colors) or (rdeg.max(initial=0) > n_colors):
@@ -154,19 +181,18 @@ class ExpandPlan:
     T: int
     U_rows: int                  # table rows (ceil(U/128))
     fanout: int                  # σ1ᵀ layer count
-    # balance: per dest vreg a source-vreg base and a one-hot matrix
-    bal_base: np.ndarray         # (H//8,) int32, source vreg index
-    bal_G: np.ndarray            # (H//8, 8, 16) f32 one-hot
+    # balance: monotone 1-Lipschitz per-row displacement (roll butterfly)
+    bal_d: np.ndarray            # (H,) int32, d[i] = i - src_of_copy[i]
     # forward shuffles
     s1_idx: np.ndarray           # (H, C) int32
     mini_s1: np.ndarray          # (H, C) int32   (transposed space)
-    move: np.ndarray             # (H, C) int32 in [0, T)   (dest-indexed)
+    lane_src: np.ndarray         # (C*C, Tp) int32: src tile per (k,κ,t_d)
     mini_s3: np.ndarray          # (H, C) int32   (transposed space)
     s3_idx: np.ndarray           # (H, C) int32
     # transpose direction
     inv_s3: np.ndarray           # (H, C) int32
     inv_mini_s3: np.ndarray      # (H, C) int32
-    inv_move: np.ndarray         # (H, C) int32   (source-indexed)
+    lane_dst: np.ndarray         # (C*C, Tp) int32: dst tile per (k,κ,t_s)
     inv_mini_s1: np.ndarray      # (H, C) int32
     s1t_idx: np.ndarray          # (fanout, H, C) int32, -1 = unused
     # side path (hot elements, straight XLA)
@@ -174,25 +200,27 @@ class ExpandPlan:
     side_pos: np.ndarray         # (n_uses,) int32 flat output slots
     side_src: np.ndarray         # (n_uses,) int32 index into side_tab
 
+    @property
+    def n_bits(self):
+        """Stage count of the balance roll butterfly."""
+        d_max = int(self.bal_d.max(initial=0))
+        return d_max.bit_length()
 
-def _tile_roll(x, delta, T):
-    """x (H, C) viewed as (T, 128, C): roll tiles down by delta."""
-    if delta == 0:
-        return x
-    k = delta * 128
-    return np.concatenate([x[-k:], x[:-k]], axis=0)
-
-
-def tile_transpose(x, T):
-    return (
-        x.reshape(T, 128, x.shape[-1]).swapaxes(1, 2).reshape(x.shape)
-        if x.shape[-1] == 128
-        else None
-    )
+    @property
+    def Tp(self):
+        """Tile count padded to a lane multiple (movement-stage width)."""
+        return self.lane_src.shape[1]
 
 
-def build_expand_plan(idx_flat, U, *, hot_cap=8, fanout=2, verbose=False):
-    """Build the routing plan for ``out[p] = tab[idx_flat[p]]``."""
+def build_expand_plan(idx_flat, U, *, hot_cap=32, fanout=8, verbose=False):
+    """Build the routing plan for ``out[p] = tab[idx_flat[p]]``.
+
+    ``hot_cap``/``fanout`` trade balance duplication (network height H,
+    which the rotate stage pays for linearly) against σ1ᵀ adjoint layers
+    (``fanout`` masked shuffle-adds, ~free) and the XLA side path (hot
+    elements).  The defaults keep every isotropic-grid layout fully
+    in-network: at 4096²-exact (2.1M packed indices) they give H = 19968
+    vs 31104 with the historical (hot_cap=8, fanout=2)."""
     idx_flat = np.asarray(idx_flat, dtype=np.int64)
     P = idx_flat.size
     U = int(U)
@@ -313,47 +341,41 @@ def build_expand_plan(idx_flat, U, *, hot_cap=8, fanout=2, verbose=False):
     # --- mini-Clos per color over tiles
     t_s, j_s = e_src_row // C, e_src_row % C
     t_d, j_d = e_dst_row // C, e_dst_row % C
+    Tp = C * -(-T // C)
     mini_s1 = np.zeros((H, C), dtype=np.int32)
     mini_s3 = np.zeros((H, C), dtype=np.int32)
-    move = np.zeros((H, C), dtype=np.int32)
+    lane_src = np.zeros((C * C, Tp), dtype=np.int32)
+    lane_dst = np.zeros((C * C, Tp), dtype=np.int32)
     inv_mini_s1 = np.zeros((H, C), dtype=np.int32)
     inv_mini_s3 = np.zeros((H, C), dtype=np.int32)
-    inv_move = np.zeros((H, C), dtype=np.int32)
     for k in range(C):
         sel = colors == k
         ts_k, td_k = t_s[sel], t_d[sel]
         kappa = euler_color(ts_k, td_k, T, T, C)
-        # MT row of the element pre-rotation: t_s*128 + k, lane κ
+        # MT row of the element pre-movement: t_s*128 + k, lane κ
         mini_s1[ts_k * C + k, kappa] = j_s[sel]
         inv_mini_s1[ts_k * C + k, j_s[sel]] = kappa
-        move[td_k * C + k, kappa] = (td_k - ts_k) % T
-        inv_move[ts_k * C + k, kappa] = (td_k - ts_k) % T
+        # movement tables live in the axis-rotated (k·C+κ, tile) layout
+        lane_src[k * C + kappa, td_k] = ts_k
+        lane_dst[k * C + kappa, ts_k] = td_k
         mini_s3[td_k * C + k, j_d[sel]] = kappa
         inv_mini_s3[td_k * C + k, kappa] = j_d[sel]
 
-    # --- balance tables (vreg-pair one-hot matmuls)
-    # dest row r' (balanced row) reads table row src_of_copy[r']
+    # --- balance displacement (roll butterfly)
+    # dest row r' (balanced row) reads table row src_of_copy[r'];
+    # src_of_copy is monotone with increments in {0, 1} (each table row
+    # gets >= 1 consecutive copies).  Padding rows [R_bal, H) continue
+    # with increment 1 into the zero-padded region beyond U_rows, so the
+    # butterfly's adjoint scatters their (zero) cotangents harmlessly
+    # past the table.
     src_of_copy = np.zeros(H, dtype=np.int64)
     src_of_copy[:R_bal] = np.repeat(np.arange(U_rows), d_row)
-    # rows ≥ R_bal: dummy/padding — all-zero G rows
-    n_vreg = H // 8
-    bal_base = np.zeros(n_vreg, dtype=np.int32)
-    bal_G = np.zeros((n_vreg, 8, 16), dtype=np.float32)
-    max_src_vreg = max(U_rows // 8 + (1 if U_rows % 8 else 0), 2)
-    for v in range(n_vreg):
-        rows = src_of_copy[8 * v : 8 * v + 8]
-        lo = 8 * v
-        if lo >= R_bal:
-            bal_base[v] = 0
-            continue
-        n_real = min(R_bal - lo, 8)
-        a = int(rows[0] // 8)
-        a = min(a, max(max_src_vreg - 2, 0))
-        bal_base[v] = a
-        for i in range(n_real):
-            off = int(rows[i]) - 8 * a
-            assert 0 <= off < 16, (v, i, rows[i], a)
-            bal_G[v, i, off] = 1.0
+    src_of_copy[R_bal:] = U_rows - 1 + np.arange(1, H - R_bal + 1)
+    bal_d = (np.arange(H) - src_of_copy).astype(np.int32)
+    assert bal_d.min(initial=0) >= 0
+    assert np.all(np.diff(bal_d) >= 0) and np.all(np.diff(bal_d) <= 1), (
+        "balance displacement not monotone 1-Lipschitz"
+    )
 
     return ExpandPlan(
         U=U,
@@ -362,16 +384,15 @@ def build_expand_plan(idx_flat, U, *, hot_cap=8, fanout=2, verbose=False):
         T=T,
         U_rows=U_rows,
         fanout=fanout,
-        bal_base=bal_base,
-        bal_G=bal_G,
+        bal_d=bal_d,
         s1_idx=s1_idx,
         mini_s1=mini_s1,
-        move=move,
+        lane_src=lane_src,
         mini_s3=mini_s3,
         s3_idx=s3_idx,
         inv_s3=inv_s3,
         inv_mini_s3=inv_mini_s3,
-        inv_move=inv_move,
+        lane_dst=lane_dst,
         inv_mini_s1=inv_mini_s1,
         s1t_idx=s1t_idx,
         side_tab=side_tab,
@@ -393,32 +414,67 @@ def _ttr(x, T):
     return x.reshape(T, C, C).swapaxes(1, 2).reshape(T * C, C)
 
 
+def _bal_butterfly_fwd(plan, X0pad):
+    """Balance duplication: (H, C) zero-padded table rows -> (H, C)
+    balanced rows, via the masked roll butterfly (high bit first)."""
+    Y = X0pad
+    d = plan.bal_d[:, None]
+    for b in reversed(range(plan.n_bits)):
+        k = 1 << b
+        bit = (d >> b) & 1
+        Y = np.where(bit == 1, np.roll(Y, k, axis=0), Y)
+    return Y
+
+
+def _bal_butterfly_adj(plan, X1c):
+    """Exact adjoint of :func:`_bal_butterfly_fwd` (low bit first)."""
+    c = X1c
+    d = plan.bal_d[:, None]
+    for b in range(plan.n_bits):
+        k = 1 << b
+        bit = ((d >> b) & 1) == 1
+        c = np.where(bit, 0.0, c) + np.roll(np.where(bit, c, 0.0), -k, axis=0)
+    return c
+
+
+def _tile_move(plan, MT, idx_table):
+    """Cross-tile movement in the axis-rotated layout: (T·C, C) → axis
+    rotation to (k·C+κ, tile) → per-row lane gather by ``idx_table`` →
+    rotate back.  The exact op sequence of the Pallas kernels."""
+    T, Tp = plan.T, plan.Tp
+    Xp = np.zeros((Tp * C, C), MT.dtype)
+    Xp[: T * C] = MT
+    Z = np.transpose(Xp.reshape(Tp, C, C), (1, 2, 0)).reshape(C * C, Tp)
+    nh = Tp // C
+    outs = []
+    for oh in range(nh):
+        io = idx_table[:, oh * C : (oh + 1) * C]
+        acc = np.zeros((C * C, C), MT.dtype)
+        for sh in range(nh):
+            Zs = Z[:, sh * C : (sh + 1) * C]
+            g = _taa(Zs, np.clip(io - sh * C, 0, C - 1))
+            acc = np.where((io >= sh * C) & (io < (sh + 1) * C), g, acc)
+        outs.append(acc)
+    Z2 = np.concatenate(outs, axis=1)
+    Xb = np.transpose(Z2.reshape(C, C, Tp), (2, 0, 1)).reshape(Tp * C, C)
+    return Xb[: T * C]
+
+
 def simulate_forward(plan, tab):
     """out_flat (P,) = tab[idx_flat] via the network + side path."""
     p = plan
     H, T = p.H, p.T
-    # table in row layout, padded
-    X0r = np.zeros((p.U_rows * C,), tab.dtype)
+    # table in row layout, zero-padded to the full network height
+    X0r = np.zeros((H * C,), tab.dtype)
     X0r[: p.U] = tab
-    X0 = X0r.reshape(-1, C)
-    # balance: vreg-pair stacks + one-hot matmul
-    X1 = np.zeros((H, C), tab.dtype)
-    for v in range(H // 8):
-        a = int(p.bal_base[v])
-        pair = np.zeros((16, C), tab.dtype)
-        lo = a * 8
-        hi = min(lo + 16, X0.shape[0])
-        pair[: hi - lo] = X0[lo:hi]
-        X1[8 * v : 8 * v + 8] = p.bal_G[v] @ pair
+    X1 = _bal_butterfly_fwd(p, X0r.reshape(H, C))
     # stage 1
     X2 = _taa(X1, p.s1_idx)
     # transpose, mini stage 1
     MT = _ttr(X2, T)
     MT = _taa(MT, p.mini_s1)
-    # cross-tile rotation
-    MT2 = np.zeros_like(MT)
-    for d in range(T):
-        MT2 = np.where(p.move == d, _tile_roll(MT, d, T), MT2)
+    # cross-tile movement (axis-rotated lane gather)
+    MT2 = _tile_move(p, MT, p.lane_src)
     # mini stage 3, transpose back
     MT3 = _taa(MT2, p.mini_s3)
     X3 = _ttr(MT3, T)
@@ -443,9 +499,7 @@ def simulate_transpose(plan, cot):
     X3 = _taa(X4, p.inv_s3)
     MT3 = _ttr(X3, T)
     MT2 = _taa(MT3, p.inv_mini_s3)
-    MT = np.zeros_like(MT2)
-    for d in range(T):
-        MT = np.where(p.inv_move == d, _tile_roll(MT2, -d, T), MT)
+    MT = _tile_move(p, MT2, p.lane_dst)
     X2 = _taa(MT, p.inv_mini_s1)
     X2 = _ttr(X2, T)  # transpose back to row space
     # σ1ᵀ: masked fanout adds
@@ -454,16 +508,9 @@ def simulate_transpose(plan, cot):
         idx = p.s1t_idx[l]
         vals = _taa(X2, np.maximum(idx, 0))
         X1c += np.where(idx >= 0, vals, 0.0)
-    # balanceᵀ: G^T matmul + overlapped window adds
-    X0c = np.zeros((-(-p.U // C) * C,), cot.dtype)
-    X0m = X0c.reshape(-1, C)
-    for v in range(H // 8):
-        a = int(p.bal_base[v])
-        contrib = p.bal_G[v].T @ X1c[8 * v : 8 * v + 8]  # (16, C)
-        lo = a * 8
-        hi = min(lo + 16, X0m.shape[0])
-        X0m[lo:hi] += contrib[: hi - lo]
-    tab_cot = X0c[: p.U].copy()
+    # balanceᵀ: reversed roll butterfly (contiguous segment sums)
+    X0c = _bal_butterfly_adj(p, X1c)
+    tab_cot = X0c.reshape(-1)[: p.U].copy()
     if p.side_tab.size:
         np.add.at(tab_cot, p.side_tab[p.side_src], cot[p.side_pos])
     return tab_cot

@@ -194,18 +194,6 @@ def _legendre_contract(
 # --- ring Fourier stage ------------------------------------------------------
 
 
-def _cap_groups(nside):
-    """Polar-cap rings grouped by pixel count: ring indices (north,
-    south) per count 4k, k = 1..nside-1."""
-    n_rings = 4 * nside - 1
-    groups = []
-    for k in range(1, nside):
-        i_n = k - 1
-        i_s = n_rings - k
-        groups.append((4 * k, i_n, i_s))
-    return groups
-
-
 def _cap_synthesis(f_c, f_s, ring_idx, nphi, phi0, mmax, w_np, chunk=8):
     """Evaluate all polar-cap rings (ragged lengths 4k) in one scanned,
     MXU-batched pass — the TPU replacement for per-ring-length fold
@@ -220,9 +208,8 @@ def _cap_synthesis(f_c, f_s, ring_idx, nphi, phi0, mmax, w_np, chunk=8):
     so each ring chunk is two small batched matmuls over m1 plus an
     elementwise combine over m2 — O((mmax+1)·L) MACs per ring with only
     O((S + mmax/S)·L) transcendentals.  The ragged (4k-pixel) rings are
-    flattened by sequential ``dynamic_update_slice`` writes at increasing
-    static offsets: each ring writes its padded row, and the padding tail
-    is overwritten by the next ring's (good) values — no gather/scatter.
+    flattened with static per-ring slices joined by one final
+    ``concatenate`` — no gather/scatter.
 
     Everything used here is a transposable lax primitive, so the exact
     adjoint comes from ``jax.linear_transpose``.

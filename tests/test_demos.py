@@ -29,10 +29,15 @@ FULL = [
 ]
 
 
-def _run(name, fast=False):
+def _run(name, fast=False, n_virtual_devices=None):
     env = dict(os.environ, NIFTY_TPU_DEMO_CPU="1")
     if fast:
         env["NIFTY_TPU_DEMO_FAST"] = "1"
+    if n_virtual_devices:
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n_virtual_devices}"
+        )
     r = subprocess.run(
         [sys.executable, os.path.join(DEMOS_DIR, name)],
         capture_output=True,
@@ -47,6 +52,12 @@ def _run(name, fast=False):
 @pytest.mark.parametrize("name", CHEAP)
 def test_demo_cheap(name):
     _run(name, fast=True)
+
+
+def test_demo_field_sharded():
+    """The flagship domain-decomposition demo, on a 4-device virtual CPU
+    mesh (pencil FFT + psum reductions + sharded optimize_kl)."""
+    _run("6_field_sharded.py", fast=True, n_virtual_devices=4)
 
 
 @pytest.mark.skipif(
