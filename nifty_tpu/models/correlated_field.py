@@ -354,29 +354,101 @@ def _remove_slope(rel_log_mode_dist, x):
     return x - x[-1] * sc
 
 
+def _pwl_knot_chunk(n_knots: int) -> int:
+    """Knot-axis chunk size for the relu-feature reductions.
+
+    On TPU the (pixels, K) generator is fused by XLA into the per-pixel
+    reduction — nothing of that size hits HBM (measured: the fused
+    broadcast-reduce is the fastest known form, see ``_pwl_transpose``).
+    XLA:CPU does *not* fuse it and materializes several (pixels, K) f32
+    temps — at K=64 that is ~60× the field size and dominates the peak
+    memory of the virtual-device ≥10⁸-dof runs (measured in
+    ``probes/mem_breakdown.py``).  Off-TPU we therefore evaluate in knot
+    chunks via ``lax.scan``, bounding temps to (pixels, chunk)."""
+    import jax as _jax
+
+    if _jax.default_backend() != "cpu":
+        return n_knots
+    return min(n_knots, 8)
+
+
+def _is_plain(x) -> bool:
+    """True for values the chunked paths may slice/barrier (arrays and
+    tracers).  Eager-mode transposition replays the jvp rules with new-AD
+    accumulator stand-ins that support only broadcast-multiply/reduce —
+    those take the dense path."""
+    import jax as _jax
+
+    return isinstance(
+        x, (_jax.Array, _jax.core.Tracer, np.ndarray, float, int)
+    )
+
+
+def _pwl_chunk_slices(k: int, n_chunk: int):
+    """Static knot-axis chunk slices (an unrolled Python loop, NOT a
+    ``lax.scan``: the jvp rules run on new-AD accumulator stand-ins and
+    inside linearized jaxprs whose transposition cannot interpret scan —
+    elementwise/reduce ops are the only accumulator-safe vocabulary)."""
+    return [slice(i, min(i + n_chunk, k)) for i in range(0, k, n_chunk)]
+
+
 def _pwl_apply(res, coef):
-    """Σ_k coef_k · relu(x − knot_k): fused relu-feature sum.  XLA fuses
-    the K-reduction per pixel — nothing of size (n_pixels, K) hits HBM."""
+    """Σ_k coef_k · relu(x − knot_k): fused relu-feature sum."""
     x, knots = res
-    return jnp.sum(coef * jnp.maximum(x[..., None] - knots[:-1], 0.0), axis=-1)
+    t = knots[:-1]
+    n_chunk = _pwl_knot_chunk(t.shape[0])
+    if n_chunk >= t.shape[0] or not all(map(_is_plain, (x, t, coef))):
+        return jnp.sum(coef * jnp.maximum(x[..., None] - t, 0.0), axis=-1)
+    out = None
+    for s in _pwl_chunk_slices(t.shape[0], n_chunk):
+        part = jnp.sum(
+            coef[s] * jnp.maximum(x[..., None] - t[s], 0.0), axis=-1
+        )
+        out = part if out is None else out + part
+        # serialize the chunks: without the barrier XLA:CPU keeps all
+        # chunk temps live at once, re-creating the (pixels, K) footprint
+        out, x = jax.lax.optimization_barrier((out, x))
+    return out
 
 
 def _pwl_transpose(res, cot):
     """Pull-back of :func:`_pwl_apply` w.r.t. `coef`: a single fused
-    broadcast-reduce over the pixel axes.  XLA tiles the (pixels, K)
+    broadcast-reduce over the pixel axes.  XLA:TPU tiles the (pixels, K)
     generator into the reduction without materializing it (measured 11 ms
     at 10240², vs ~400 ms for the AD-derived transpose and 74 ms for a
-    per-knot ``lax.map``)."""
+    per-knot ``lax.map``); off-TPU it runs knot-chunked (XLA:CPU
+    materializes the (pixels, K) generator — ~60× the field size at K=64,
+    the peak-memory driver of the virtual-device ≥10⁸-dof runs)."""
     x, knots = res
-    feats = jnp.maximum(x[..., None] - knots[:-1], 0.0)
-    return jnp.sum(cot[..., None] * feats, axis=tuple(range(x.ndim)))
+    t = knots[:-1]
+    n_chunk = _pwl_knot_chunk(t.shape[0])
+    red_axes = tuple(range(x.ndim))
+    if n_chunk >= t.shape[0] or not all(map(_is_plain, (x, t, cot))):
+        feats = jnp.maximum(x[..., None] - t, 0.0)
+        return jnp.sum(cot[..., None] * feats, axis=red_axes)
+    grads = []
+    for s in _pwl_chunk_slices(t.shape[0], n_chunk):
+        feats = jnp.maximum(x[..., None] - t[s], 0.0)
+        g = jnp.sum(cot[..., None] * feats, axis=red_axes)
+        g, x = jax.lax.optimization_barrier((g, x))  # serialize chunks
+        grads.append(g)
+    return jnp.concatenate(grads)
 
 
 def _pwl_jvp_x(tx, x, knots, coef):
     # d/dx Σ coef_k·relu(x − knot_k) = Σ coef_k·1(x > knot_k) (a.e.)
-    steps = jnp.sum(
-        coef * (x[..., None] > knots[:-1]).astype(coef.dtype), axis=-1
-    )
+    t = knots[:-1]
+    n_chunk = _pwl_knot_chunk(t.shape[0])
+    if n_chunk >= t.shape[0] or not all(map(_is_plain, (x, t, coef))):
+        steps = jnp.sum(coef * (x[..., None] > t).astype(coef.dtype), axis=-1)
+        return tx * steps
+    steps = None
+    for s in _pwl_chunk_slices(t.shape[0], n_chunk):
+        part = jnp.sum(
+            coef[s] * (x[..., None] > t[s]).astype(coef.dtype), axis=-1
+        )
+        steps = part if steps is None else steps + part
+        steps, x = jax.lax.optimization_barrier((steps, x))  # serialize
     return tx * steps
 
 
@@ -435,7 +507,34 @@ def _make_pwl_primitive():
         return jax.core.ShapedArray(x.shape, dtype)
 
     prim.def_abstract_eval(_abstract)
-    ad.defjvp(prim, _pwl_jvp_x, None, _pwl_jvp_coef)
+
+    def _jvp_rule(primals, tangents):
+        # The coef-linear part re-binds the primitive itself, so the
+        # linear jaxpr contains `nifty_pwl_features(x, knots, tcoef)` and
+        # transposition dispatches to `_pwl_transpose_rule` with a
+        # concrete cotangent.  (Expressing it with raw jnp ops instead
+        # makes the new-AD replay transposition re-execute the chunked
+        # loop on accumulator stand-ins, which only support broadcast
+        # multiply/reduce — slices and optimization_barrier assert.)
+        x, knots, coef = primals
+        tx, tknots, tcoef = tangents
+        y = prim.bind(x, knots, coef)
+        is_zero = lambda t: type(t) is ad.Zero  # noqa: E731
+        if not is_zero(tknots):
+            raise NotImplementedError(
+                "pwl_features is not differentiable w.r.t. `knots`"
+            )
+        out_t = None
+        if not is_zero(tx):
+            out_t = _pwl_jvp_x(tx, x, knots, coef)
+        if not is_zero(tcoef):
+            tpart = prim.bind(x, knots, tcoef)
+            out_t = tpart if out_t is None else out_t + tpart
+        if out_t is None:
+            out_t = ad.Zero.from_primal_value(y)
+        return y, out_t
+
+    ad.primitive_jvps[prim] = _jvp_rule
     ad.primitive_transposes[prim] = _pwl_transpose_rule
     batching.primitive_batchers[prim] = _pwl_batch_rule
     mlir.register_lowering(prim, mlir.lower_fun(_impl, multiple_results=False))

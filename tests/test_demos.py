@@ -31,6 +31,10 @@ FULL = [
 
 def _run(name, fast=False, n_virtual_devices=None):
     env = dict(os.environ, NIFTY_TPU_DEMO_CPU="1")
+    # demos import nifty_tpu from the repo root; make that work whether or
+    # not the package is pip-installed in the interpreter's environment
+    repo_root = os.path.abspath(os.path.join(DEMOS_DIR, os.pardir))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     if fast:
         env["NIFTY_TPU_DEMO_FAST"] = "1"
     if n_virtual_devices:

@@ -27,7 +27,7 @@ def _mesh():
     return Mesh(np.asarray(jax.devices()), ("fx",))
 
 
-def _run_step(shape, *, knots=64, remat=False):
+def _run_step(shape, *, knots=64, remat=False, map="vmap"):
     from functools import partial
 
     from nifty_tpu.optimize_kl import _kl_met, _kl_vg
@@ -79,8 +79,12 @@ def _run_step(shape, *, knots=64, remat=False):
             samples = nt.Samples(pos=pos, samples=smpls, keys=keys)
             res = nt.static_newton_cg(
                 x0=pos,
-                fun_and_grad=partial(_kl_vg, lh, primals_samples=samples),
-                hessp=partial(_kl_met, lh, primals_samples=samples),
+                fun_and_grad=partial(
+                    _kl_vg, lh, primals_samples=samples, map=map
+                ),
+                hessp=partial(
+                    _kl_met, lh, primals_samples=samples, map=map
+                ),
                 maxiter=1,
                 cg_kwargs=dict(maxiter=2, miniter=2, resnorm=-1.0),
             )
@@ -141,22 +145,26 @@ def test_field_sharded_vi_step_3d_smoke():
 
 
 @pytest.mark.skipif(
-    not LARGE, reason="set NIFTY_TPU_LARGE=1 (needs ~60 GB, ~30 min)"
+    not LARGE, reason="set NIFTY_TPU_LARGE=1 (needs ~65 GB, ~25 min)"
 )
 def test_field_sharded_vi_step_5e8_dof():
-    """5.4·10⁸-parameter 3-D field: the largest size this box runs
-    green (run with --xla_force_host_platform_device_count=2: each
-    virtual CPU device charges the full XLA temp arena, so fewer
-    devices = less host memory; a real v5p slice has no such
-    replication — see docs/design.md for the measured memory model)."""
-    _run_step((8192, 8192, 8), knots=64, remat=True)
+    """5.4·10⁸-parameter 3-D field VI step.  Memory model (measured, see
+    docs/design.md "Measured memory model"): host RSS ≈ 123 B/dof + 1 GiB
+    with ``map="smap"`` (sequential sample map) — ≈63 GiB here.  Run with
+    --xla_force_host_platform_device_count=2 (total RSS is invariant in
+    the device count, but fewer devices = fewer serial rendezvous)."""
+    _run_step((8192, 8192, 8), knots=64, map="smap")
 
 
 @pytest.mark.skipif(
-    not LARGE, reason="set NIFTY_TPU_LARGE=1 (needs ~90 GB, ~an hour)"
+    not LARGE, reason="set NIFTY_TPU_LARGE=1 (needs ~120 GB, ~an hour)"
 )
 def test_field_sharded_vi_step_1e9_dof():
     """The BASELINE.md north star: a ≥10⁹-parameter 3-D correlated field
     runs a full domain-decomposed VI step (sampling CG + Newton-CG KL
-    step) on the 8-device mesh. 8192·8192·16 = 1.074e9 parameters."""
-    _run_step((8192, 8192, 16), knots=64, remat=True)
+    step). 8192·8192·16 = 1.074e9 parameters; predicted ≈124 GiB host
+    RSS per the measured model in docs/design.md — only fits hosts with
+    ≳128 GB (virtual-device CPU execution materializes every device's
+    shard in one address space; a real TPU slice needs only the
+    per-chip share, see docs/design.md)."""
+    _run_step((8192, 8192, 16), knots=64, map="smap")
