@@ -45,9 +45,15 @@ def main():
     end = np.stack(
         [np.ones(n_rays), np.asarray(random.uniform(k2, (n_rays,)))], axis=1
     )
-    los = nt.SamplingCartesianGridLOS(
-        start, end, shape=shape, distances=distances, n_sampling_points=256
-    )
+    # response: exact ray-cell traversal (reference LOSResponse analogue)
+    # or dense point sampling — NIFTY_TPU_LOS=sampling|exact
+    if os.environ.get("NIFTY_TPU_LOS", "exact") == "exact":
+        los = nt.ExactGridLOS(start, end, shape=shape, distances=distances)
+    else:
+        los = nt.SamplingCartesianGridLOS(
+            start, end, shape=shape, distances=distances,
+            n_sampling_points=256,
+        )
 
     class Forward(nt.Model):
         def __init__(self, cf, los):

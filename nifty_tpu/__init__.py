@@ -88,7 +88,7 @@ from .models.gauss_markov import (
     ornstein_uhlenbeck_process,
     wiener_process,
 )
-from .los import SamplingCartesianGridLOS
+from .los import ExactGridLOS, SamplingCartesianGridLOS
 from .models.dynamics import (
     dynamic_lightcone_operator,
     dynamic_operator,

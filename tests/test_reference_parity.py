@@ -383,3 +383,87 @@ def test_nuts_moments_parity():
     scale = np.maximum(np.maximum(s_r, s_o), 1e-3)
     assert np.max(np.abs(m_r - m_o) / scale) < 1.0, (m_r, m_o, scale)
     assert np.all((0.6 < s_o / s_r) & (s_o / s_r < 1.67)), s_o / s_r
+
+
+def _import_reference_cl():
+    """Import the reference's classical variant with a ducc0 shim (its
+    C++ kernels are absent here; the LOS path never calls them)."""
+    import types
+
+    _import_reference()  # sys.path + metadata shim
+
+    class _Shim(types.ModuleType):
+        __path__ = []  # package-like: submodule imports resolve via sys.modules
+
+        def __getattr__(self, name):
+            if name.startswith("__"):
+                raise AttributeError(name)
+            full = self.__name__ + "." + name
+            sub = sys.modules.get(full) or _Shim(full)
+            sys.modules[full] = sub
+            setattr(self, name, sub)
+            return sub
+
+        def __call__(self, *a, **k):
+            return 8
+
+    if "ducc0" not in sys.modules or not isinstance(
+        sys.modules["ducc0"], types.ModuleType
+    ):
+        pass
+    ducc = sys.modules.get("ducc0")
+    if ducc is None:
+        ducc = _Shim("ducc0")
+        sys.modules["ducc0"] = ducc
+        for sub in ("misc", "misc.experimental", "fft"):
+            sys.modules["ducc0." + sub] = _Shim("ducc0." + sub)
+        ducc.misc = sys.modules["ducc0.misc"]
+        ducc.misc.experimental = sys.modules["ducc0.misc.experimental"]
+        ducc.fft = sys.modules["ducc0.fft"]
+    import nifty.cl as ift
+
+    return ift
+
+
+@pytest.mark.parametrize("with_sigmas", [False, True])
+def test_exact_los_matches_reference(with_sigmas):
+    """ExactGridLOS reproduces the reference's sparse exact-traversal
+    LOSResponse (`nifty/cl/library/los_response.py:103`) element for
+    element, with and without Gaussian endpoint (parallax) uncertainty."""
+    ift = _import_reference_cl()
+    from nifty_tpu.los import ExactGridLOS
+
+    shape, distances = (11, 7), (0.13, 0.23)
+    extent = np.array(shape) * np.array(distances)
+    rng = np.random.default_rng(42)
+    n_los = 17
+    starts = rng.uniform(0.05, 0.95, (n_los, 2)) * extent
+    ends = rng.uniform(0.05, 0.95, (n_los, 2)) * extent
+    if with_sigmas:
+        lengths = np.linalg.norm(ends - starts, axis=1)
+        sigmas = rng.uniform(0.02, 0.1, n_los) / lengths
+    else:
+        sigmas = None
+
+    dom = ift.RGSpace(shape, distances=distances)
+    R_ref = ift.LOSResponse(
+        dom, starts.T, ends.T, sigmas=sigmas, truncation=3.0
+    )
+    R = ExactGridLOS(
+        starts, ends, shape=shape, distances=distances,
+        sigmas=sigmas, truncation=3.0,
+    )
+
+    x = rng.standard_normal(shape)
+    want = R_ref(ift.makeField(dom, x)).asnumpy()
+    got = np.asarray(R(jnp.asarray(x)))
+    assert np.max(np.abs(got - want)) / np.abs(want).max() < 1e-5
+
+    # adjoint parity too (reference rmatvec vs JAX linear_transpose)
+    y = rng.standard_normal(n_los)
+    want_adj = R_ref.adjoint(
+        ift.makeField(R_ref.target, y)
+    ).asnumpy()
+    lt = jax.linear_transpose(lambda v: R(v), jnp.zeros(shape))
+    got_adj = np.asarray(lt(jnp.asarray(y))[0])
+    assert np.max(np.abs(got_adj - want_adj)) / np.abs(want_adj).max() < 1e-5

@@ -6,7 +6,7 @@ import pytest
 from jax import numpy as jnp
 from jax import random
 
-from nifty_tpu.los import SamplingCartesianGridLOS
+from nifty_tpu.los import ExactGridLOS, SamplingCartesianGridLOS
 from nifty_tpu.ops.nufft import nufft2, nufft_adjoint
 from nifty_tpu.ski import HarmonicSKI, ToeplitzSKI, interp_mat, matmul_toeplitz
 
@@ -104,6 +104,62 @@ def test_los_linear_field_multi_ray():
     # ∫ x dl along each ray
     expect = np.array([0.4 * 0.7, 0.4 * 0.3, 0.4 * 0.5])
     np.testing.assert_allclose(out, expect, atol=5e-3)
+
+
+def test_exact_los_constant_field():
+    """Exact-traversal LOS of a constant field equals the in-box ray
+    length (here rays are fully inside, so the full length)."""
+    shape = (32, 32)
+    dist = (1.0 / 32, 1.0 / 32)
+    start = np.array([[0.1, 0.1]])
+    end = np.array([[0.9, 0.5]])
+    los = ExactGridLOS(start, end, shape=shape, distances=dist)
+    out = np.asarray(los(jnp.ones(shape)))
+    np.testing.assert_allclose(out, np.linalg.norm(end - start), rtol=1e-4)
+
+
+def test_exact_los_adjoint_and_linearity():
+    """extra.py sweep: linearity + ⟨Rx, y⟩ = ⟨x, Rᵀy⟩ for the exact LOS,
+    with and without endpoint uncertainty."""
+    from nifty_tpu.extra import check_linear_model
+    from nifty_tpu.utils.tree import ShapeWithDtype
+
+    shape = (16, 24)
+    dist = (0.9 / 16, 1.1 / 24)
+    rng = np.random.default_rng(3)
+    extent = np.array(shape) * np.array(dist)
+    starts = rng.uniform(0.1, 0.9, (9, 2)) * extent
+    ends = rng.uniform(0.1, 0.9, (9, 2)) * extent
+    lengths = np.linalg.norm(ends - starts, axis=1)
+    for sigmas in (None, rng.uniform(0.05, 0.2, 9) / lengths):
+        los = ExactGridLOS(
+            starts, ends, shape=shape, distances=dist, sigmas=sigmas
+        )
+        check_linear_model(
+            los,
+            ShapeWithDtype(shape, jnp.float64),
+            random.PRNGKey(7),
+            rtol=1e-12,
+        )
+
+
+def test_exact_los_matches_sampling_los():
+    """The exact traversal and the dense sampling integrator agree on a
+    smooth field (they are different discretizations of the same
+    integral)."""
+    shape = (64, 64)
+    dist = (1.0 / 64, 1.0 / 64)
+    xg = (np.arange(64) + 0.5) / 64
+    field = np.sin(2 * np.pi * xg)[:, None] * np.cos(np.pi * xg)[None, :]
+    starts = np.array([[0.15, 0.2], [0.7, 0.8], [0.1, 0.9]])
+    ends = np.array([[0.85, 0.75], [0.2, 0.3], [0.9, 0.1]])
+    exact = ExactGridLOS(starts, ends, shape=shape, distances=dist)
+    sampl = SamplingCartesianGridLOS(
+        starts, ends, shape=shape, distances=dist, n_sampling_points=4000
+    )
+    a = np.asarray(exact(jnp.asarray(field)))
+    b = np.asarray(sampl(jnp.asarray(field)))
+    np.testing.assert_allclose(a, b, atol=2e-2, rtol=2e-2)
 
 
 @pytest.mark.parametrize("ndim", [1, 2])

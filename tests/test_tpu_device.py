@@ -97,6 +97,90 @@ err = np.abs(m - want).max() / np.abs(want).max()
 print(f"sht: rel err {err:.2e}", flush=True)
 assert err < 5e-4, err
 
+# --- expansion network at the real 1280^2-exact layout ---------------------
+# The Mosaic/XLA miscompile neighborhood (ops/pallas_expand.py): verify the
+# Clos-routed Pallas forward/transpose on-chip against exact numpy goldens
+# at the exact layout bench.py times (205,761 packed indices).
+from nifty_tpu.models.correlated_field import make_grid
+from nifty_tpu.ops.mode_expand import build_expand_layout
+from nifty_tpu.ops.route import build_expand_plan
+from nifty_tpu.ops import pallas_expand as pe
+
+n = 1280
+g = make_grid((n, n), 1.0 / n, "fourier")
+pd = np.asarray(g.harmonic_grid.power_distributor, dtype=np.int64)
+core = pd[tuple(slice(0, s // 2 + 1) for s in pd.shape)]
+packed, layout = build_expand_layout(
+    core, int(g.harmonic_grid.mode_lengths.size)
+)
+idx = np.asarray(packed).ravel()
+plan = build_expand_plan(idx, layout.n_unique)
+rng = np.random.default_rng(5)
+tab = rng.standard_normal(layout.n_unique).astype(np.float32)
+cot = rng.standard_normal(idx.size).astype(np.float32)
+out = np.asarray(jax.jit(lambda t: pe.expand_forward(plan, t))(jnp.asarray(tab)))
+err = np.abs(out - tab[idx]).max()
+print(f"expand fwd 1280^2-exact: abs err {err:.2e}", flush=True)
+assert err == 0.0, err
+tc = np.asarray(jax.jit(lambda c: pe.expand_transpose(plan, c))(jnp.asarray(cot)))
+ref_t = np.zeros(layout.n_unique, np.float32)
+np.add.at(ref_t, idx, cot)
+errt = np.abs(tc - ref_t).max() / np.abs(ref_t).max()
+print(f"expand transpose 1280^2-exact: rel err {errt:.2e}", flush=True)
+assert errt < 1e-6, errt
+
+# --- exact-path CF forward: network vs XLA gather path, on-chip ------------
+from nifty_tpu import config as nt_config
+
+def build_exact_cf():
+    cfm = nt.CorrelatedFieldMaker("cf")
+    cfm.set_amplitude_total_offset(offset_mean=1.0, offset_std=(1e-1, 3e-2))
+    cfm.add_fluctuations(
+        (n, n), distances=1.0 / n,
+        fluctuations=(1.0, 5e-1), loglogavgslope=(-3.0, 2e-1),
+        flexibility=(1e0, 2e-1),
+    )
+    return cfm.finalize()
+
+cf_net = build_exact_cf()  # registers the network plan (TPU default)
+pos = cf_net.init(random.PRNGKey(7))
+out_net = np.asarray(jax.jit(cf_net)(pos))
+nt_config.update("expand_network", "off")  # _active_plan consults config
+cf_xla = build_exact_cf()
+out_xla = np.asarray(jax.jit(cf_xla)(pos))
+nt_config.update("expand_network", "auto")
+err = np.abs(out_net - out_xla).max() / np.abs(out_xla).max()
+print(f"cf exact 1280^2 network-vs-xla: rel err {err:.2e}", flush=True)
+assert err < 1e-5, err
+
+# --- vmapped-samples exact-path metric apply (batched wide-slice gather) ---
+# The batched VI path bypasses the (unbatched-only) Pallas network; check
+# its numerics on-chip against per-sample unbatched applies.
+cf_net2 = build_exact_cf()  # re-register the network plan
+data2 = jnp.asarray(
+    out_net + 0.3 * rng.standard_normal((n, n)).astype(np.float32)
+)
+lh2 = nt.Gaussian(data2, noise_cov_inv=lambda x: x / 0.1).amend(cf_net2)
+tans = {
+    k: jnp.asarray(
+        rng.standard_normal((2,) + tuple(v.shape)).astype(np.float32)
+    )
+    for k, v in jax.eval_shape(cf_net2.init, random.PRNGKey(0)).items()
+}
+posv = nt.Vector(pos)
+batched = jax.jit(
+    jax.vmap(lambda t: lh2.metric(posv, nt.Vector(t)), in_axes=(0,))
+)(tans)
+single = jax.jit(lambda t: lh2.metric(posv, nt.Vector(t)))
+for i in range(2):
+    want_i = single({k: v[i] for k, v in tans.items()})
+    for k in tans:
+        a = np.asarray(batched.tree[k][i])
+        b = np.asarray(want_i.tree[k])
+        errk = np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
+        assert errk < 2e-4, (i, k, errk)
+print("vmapped exact-path metric matches unbatched on-chip", flush=True)
+
 print("DEVICE LANE OK", flush=True)
 """
 
@@ -164,7 +248,7 @@ def test_device_lane(tmp_path):
         [sys.executable, str(script), str(fn)],
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=5400,
         env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
