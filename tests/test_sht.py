@@ -294,6 +294,54 @@ def test_healpix_analysis_inverts_synthesis(nside):
 LARGE = __import__("os").environ.get("NIFTY_TPU_LARGE", "") == "1"
 
 
+
+def _lam_ref(l, m, theta):
+    """Independent stable reference for the normalized associated Legendre
+    function λ_lm(θ) = sqrt((2l+1)/(4π)·(l−m)!/(l+m)!)·P_l^m(cosθ) at
+    degrees where scipy's ``sph_harm_y`` overflows (all-NaN for
+    l ≳ 1000): log-space seed λ_mm via lgamma, upward three-term
+    recurrence on a mantissa·2^exponent representation with shared
+    per-point exponent and periodic rescaling (the libsharp approach,
+    re-derived in numpy)."""
+    from scipy.special import gammaln
+
+    theta = np.asarray(theta, np.float64)
+    ct, st = np.cos(theta), np.sin(theta)
+    ln2 = np.log(2.0)
+    if m == 0:
+        e = np.zeros_like(ct)
+        p_curr = np.full_like(ct, 1.0 / np.sqrt(4.0 * np.pi))
+    else:
+        with np.errstate(divide="ignore"):
+            ln_seed = (
+                0.5 * np.log((2 * m + 1) / (4.0 * np.pi))
+                + 0.5 * gammaln(2 * m + 1)
+                - m * ln2
+                - gammaln(m + 1)
+                + m * np.log(np.maximum(st, 1e-320))
+            )
+        sign = -1.0 if (m % 2) else 1.0
+        e = np.floor(ln_seed / ln2)
+        p_curr = sign * np.exp(ln_seed - e * ln2)
+    p_prev = np.zeros_like(p_curr)
+    for ll in range(m + 1, l + 1):
+        a = np.sqrt((4.0 * ll * ll - 1.0) / (ll * ll - m * m))
+        b = a * np.sqrt(
+            ((ll - 1.0) ** 2 - m * m) / (4.0 * (ll - 1.0) ** 2 - 1.0)
+        )
+        p_prev, p_curr = p_curr, a * ct * p_curr - b * p_prev
+        mag = np.maximum(np.abs(p_curr), np.abs(p_prev))
+        with np.errstate(divide="ignore"):
+            adj = np.floor(np.log2(np.maximum(mag, 1e-320)))
+        adj = np.where((mag > 0) & (np.abs(adj) > 50), adj, 0.0)
+        scale = np.exp2(-adj)
+        p_curr *= scale
+        p_prev *= scale
+        e += adj
+    out = p_curr * np.exp2(np.clip(e, -1074.0, 1023.0))
+    return np.where(e < -1100.0, 0.0, out)
+
+
 def _sampled_mode_check(nside, lmax, modes, atol):
     """Synthesize single-(l,m) alms and compare against direct Y_lm
     evaluation on every pixel — validates the full cap/belt pipeline at
@@ -312,6 +360,11 @@ def _sampled_mode_check(nside, lmax, modes, atol):
             x[off + (1 if use_im else 0)] = 1.0
         got = np.asarray(f(jnp.asarray(x)))
         lam = sph_harm_y(l, m, theta, 0.0).real
+        if not np.all(np.isfinite(lam)):
+            # scipy overflows to all-NaN for l ≳ 900 — use the
+            # independent scaled-recurrence reference (validated against
+            # scipy to 5e-13 at l = 512, see `_lam_ref`)
+            lam = _lam_ref(l, m, theta)
         if m == 0:
             expect = lam
         elif use_im:
@@ -331,6 +384,19 @@ def test_synthesis_sampled_modes_nside64():
 def test_synthesis_sampled_modes_nside256():
     modes = [(512, 0, 0), (512, 512, 0), (400, 137, 1), (512, 1, 0), (257, 256, 0)]
     _sampled_mode_check(256, 512, modes, atol=1e-8)
+
+
+@pytest.mark.skipif(not LARGE, reason="set NIFTY_TPU_LARGE=1 (minutes)")
+def test_synthesis_sampled_modes_nside512():
+    modes = [(1024, 0, 0), (1024, 1024, 0), (800, 271, 1), (513, 512, 0)]
+    _sampled_mode_check(512, 1024, modes, atol=1e-8)
+
+
+@pytest.mark.skipif(not LARGE, reason="set NIFTY_TPU_LARGE=1 (tens of minutes)")
+def test_synthesis_sampled_modes_nside1024():
+    """Production CMB scale (ducc0 territory): nside=1024 / lmax=2048."""
+    modes = [(2048, 0, 0), (2048, 2048, 0), (1500, 601, 1), (1025, 1024, 0)]
+    _sampled_mode_check(1024, 2048, modes, atol=1e-8)
 
 
 def test_healpix_analysis_converges_nside64():
@@ -367,3 +433,42 @@ def test_healpix_analysis_converges_nside256():
     rec = healpix_analysis(m, nside, lmax=lmax, mmax=lmax, iterations=4)
     err = np.linalg.norm(np.asarray(rec) - alm) / np.linalg.norm(alm)
     assert err < 1e-3, err
+
+
+def _ls_per_alm(lmax):
+    return np.concatenate(
+        [np.arange(lmax + 1)]
+        + [np.repeat(np.arange(m, lmax + 1), 2) for m in range(1, lmax + 1)]
+    ).astype(np.float64)
+
+
+@pytest.mark.parametrize("slope", [0.0, 1.0])  # flat and blue spectra
+def test_healpix_analysis_converges_nonred_nside64(slope):
+    """The normal equations are worse-conditioned when power sits at the
+    poorly-sampled modes near lmax (flat/blue spectra) — the residual-
+    based CG stop must still converge there, not just on red spectra."""
+    from nifty_tpu.ops.sht import healpix_analysis, healpix_synthesis
+
+    nside, lmax = 64, 128
+    rng = np.random.default_rng(5)
+    ls = _ls_per_alm(lmax)
+    alm = rng.normal(size=ls.size) * (1.0 + ls) ** slope
+    m = healpix_synthesis(jnp.asarray(alm), nside, lmax=lmax, mmax=lmax)
+    rec = healpix_analysis(m, nside, lmax=lmax, mmax=lmax, iterations=8)
+    err = np.linalg.norm(np.asarray(rec) - alm) / np.linalg.norm(alm)
+    assert err < 1e-3, (slope, err)
+
+
+@pytest.mark.skipif(not LARGE, reason="set NIFTY_TPU_LARGE=1 (minutes)")
+@pytest.mark.parametrize("slope", [0.0, 1.0])
+def test_healpix_analysis_converges_nonred_nside256(slope):
+    from nifty_tpu.ops.sht import healpix_analysis, healpix_synthesis
+
+    nside, lmax = 256, 512
+    rng = np.random.default_rng(6)
+    ls = _ls_per_alm(lmax)
+    alm = rng.normal(size=ls.size) * (1.0 + ls) ** slope
+    m = healpix_synthesis(jnp.asarray(alm), nside, lmax=lmax, mmax=lmax)
+    rec = healpix_analysis(m, nside, lmax=lmax, mmax=lmax, iterations=8)
+    err = np.linalg.norm(np.asarray(rec) - alm) / np.linalg.norm(alm)
+    assert err < 1e-3, (slope, err)

@@ -252,5 +252,6 @@ def test_device_lane(tmp_path):
         env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
+    print(r.stdout, flush=True)  # the per-check numbers are the artifact
     assert r.returncode == 0, f"device lane failed:\n{r.stdout}\n{r.stderr}"
     assert "DEVICE LANE OK" in r.stdout, r.stdout
