@@ -63,7 +63,7 @@ def _emit(metric, value, unit):
     print(json.dumps({"metric": metric, "value": round(value, 4), "unit": unit}), flush=True)
 
 
-def bench_sht(nside=64, iters=8):
+def bench_sht(nside=64, iters=None):
     """HEALPix synthesis (Legendre-recurrence formulation).  Also emits
     the Legendre stage's achieved useful FLOP/s as a fraction of the
     v5e's 98 TFLOP/s f32 peak (MFU) — "useful" counts the 4 MACs per
@@ -80,6 +80,10 @@ def bench_sht(nside=64, iters=8):
         m = syn(a)
         return a * 0.5 + jnp.sum(m) * 1e-20
 
+    if iters is None:
+        # sub-ms syntheses need long chains to clear the tunnel's
+        # 25-35 ms roundtrip jitter
+        iters = max(4, min(128, 1 << max(0, 13 - (nside.bit_length()))))
     t = _chain_time(f, alm, iters=iters)
     _emit(f"sht_synthesis_nside{nside}_lmax{lmax}", t * 1e3, "ms")
     n_rings = 4 * nside - 1
@@ -324,7 +328,7 @@ def bench_sht256():
 
 
 def bench_sht512():
-    bench_sht(nside=512, iters=4)
+    bench_sht(nside=512, iters=8)
 
 
 def bench_geovi_1024_knot():

@@ -173,9 +173,15 @@ def _legendre_scan(cos_theta, sin_theta, lmax: int, mmax: int, dtype, body,
     return aux, ys
 
 
-def _legendre_contract_impl(c_re, c_im, cos_theta, sin_theta, *, lmax, mmax):
-    """Forward: F[..., r, m] = Σ_l c[..., l, m] λ_lm(θ_r).  Supports
-    leading batch axes on the coefficients."""
+def _parity_table(lmax, mmax, dtype):
+    """(-1)^(l+m) as a static (lmax+1, mmax+1) table."""
+    ls = np.arange(lmax + 1)[:, None]
+    ms = np.arange(mmax + 1)[None, :]
+    return jnp.asarray(1.0 - 2.0 * ((ls + ms) % 2), dtype=dtype)
+
+
+def _contract_core(c_re, c_im, cos_theta, sin_theta, *, lmax, mmax):
+    """Unfolded forward contraction over the full ring set."""
     dtype = jnp.result_type(c_re, cos_theta)
     batch = np.broadcast_shapes(c_re.shape[:-2], cos_theta.shape[:-1])
     n_rings = cos_theta.shape[-1]
@@ -195,8 +201,42 @@ def _legendre_contract_impl(c_re, c_im, cos_theta, sin_theta, *, lmax, mmax):
     return f_c, f_s
 
 
-def _legendre_contract_transpose(cot_c, cot_s, cos_theta, sin_theta, *, lmax, mmax):
-    """Transpose: g[..., l, m] = Σ_r λ_lm(θ_r) cot[..., r, m]."""
+def _legendre_contract_impl(
+    c_re, c_im, cos_theta, sin_theta, *, lmax, mmax, fold=False
+):
+    """Forward: F[..., r, m] = Σ_l c[..., l, m] λ_lm(θ_r).  Supports
+    leading batch axes on the coefficients.
+
+    With ``fold=True`` the ring grid is asserted (by the caller)
+    north/south symmetric — θ_{R-1-r} = π − θ_r — and λ is generated for
+    the northern half only: the southern sums follow from the parity
+    λ_lm(π−θ) = (−1)^(l+m) λ_lm(θ), via a second contraction against
+    parity-signed coefficients.  Contraction FLOPs are unchanged; the
+    recurrence (the VPU-bound part) runs on half the rings."""
+    if not fold:
+        return _contract_core(
+            c_re, c_im, cos_theta, sin_theta, lmax=lmax, mmax=mmax
+        )
+    dtype = jnp.result_type(c_re, cos_theta)
+    n_rings = cos_theta.shape[-1]
+    r_half = (n_rings + 1) // 2
+    ct_h = cos_theta[..., :r_half]
+    st_h = sin_theta[..., :r_half]
+    parity = _parity_table(lmax, mmax, dtype)
+    # stack (c, parity·c) as one extra leading batch axis → one scan
+    cr2 = jnp.stack([c_re, c_re * parity])
+    ci2 = jnp.stack([c_im, c_im * parity])
+    f_c2, f_s2 = _contract_core(cr2, ci2, ct_h, st_h, lmax=lmax, mmax=mmax)
+
+    def unfold(f2):
+        north = f2[0]
+        south = jnp.flip(f2[1][..., : r_half - 1, :], axis=-2)
+        return jnp.concatenate([north, south], axis=-2)
+
+    return unfold(f_c2), unfold(f_s2)
+
+
+def _transpose_core(cot_c, cot_s, cos_theta, sin_theta, *, lmax, mmax):
     dtype = jnp.result_type(cot_c, cos_theta)
     cc = cot_c.astype(dtype)
     cs = cot_s.astype(dtype)
@@ -211,6 +251,37 @@ def _legendre_contract_transpose(cot_c, cot_s, cos_theta, sin_theta, *, lmax, mm
     )
     # scan stacks over ℓ at axis 0 → move to -2
     return jnp.moveaxis(g_re, 0, -2), jnp.moveaxis(g_im, 0, -2)
+
+
+def _legendre_contract_transpose(
+    cot_c, cot_s, cos_theta, sin_theta, *, lmax, mmax, fold=False
+):
+    """Transpose: g[..., l, m] = Σ_r λ_lm(θ_r) cot[..., r, m] (with the
+    same optional hemisphere fold as the forward)."""
+    if not fold:
+        return _transpose_core(
+            cot_c, cot_s, cos_theta, sin_theta, lmax=lmax, mmax=mmax
+        )
+    dtype = jnp.result_type(cot_c, cos_theta)
+    n_rings = cos_theta.shape[-1]
+    r_half = (n_rings + 1) // 2
+    ct_h = cos_theta[..., :r_half]
+    st_h = sin_theta[..., :r_half]
+
+    def fold_cot(cot):
+        north = cot[..., :r_half, :]
+        south = jnp.flip(cot[..., r_half:, :], axis=-2)
+        pad = [(0, 0)] * (south.ndim - 2) + [(0, 1), (0, 0)]
+        south = jnp.pad(south, pad)  # zero row at the equator position
+        return jnp.stack([north, south])
+
+    g_re2, g_im2 = _transpose_core(
+        fold_cot(cot_c), fold_cot(cot_s), ct_h, st_h, lmax=lmax, mmax=mmax
+    )
+    parity = _parity_table(lmax, mmax, dtype)
+    g_re = g_re2[0] + parity * g_re2[1]
+    g_im = g_im2[0] + parity * g_im2[1]
+    return g_re, g_im
 
 
 def _make_legendre_primitive():
@@ -233,12 +304,14 @@ def _make_legendre_primitive():
     prim = Primitive("nifty_legendre_contract")
     prim.multiple_results = True
 
-    def _impl(c_re, c_im, ct, st, *, lmax, mmax):
-        return _legendre_contract_impl(c_re, c_im, ct, st, lmax=lmax, mmax=mmax)
+    def _impl(c_re, c_im, ct, st, *, lmax, mmax, fold):
+        return _legendre_contract_impl(
+            c_re, c_im, ct, st, lmax=lmax, mmax=mmax, fold=fold
+        )
 
     prim.def_impl(_impl)
 
-    def _abstract(c_re, c_im, ct, st, *, lmax, mmax):
+    def _abstract(c_re, c_im, ct, st, *, lmax, mmax, fold):
         dtype = jnp.result_type(c_re.dtype, ct.dtype)
         batch = np.broadcast_shapes(c_re.shape[:-2], ct.shape[:-1])
         shape = batch + (ct.shape[-1], mmax + 1)
@@ -249,7 +322,7 @@ def _make_legendre_primitive():
 
     prim.def_abstract_eval(_abstract)
 
-    def _jvp(primals, tangents, *, lmax, mmax):
+    def _jvp(primals, tangents, *, lmax, mmax, fold):
         c_re, c_im, ct, st = primals
         t_re, t_im, t_ct, t_st = tangents
         is_zero = lambda t: type(t) is ad.Zero  # noqa: E731
@@ -257,18 +330,18 @@ def _make_legendre_primitive():
             raise NotImplementedError(
                 "legendre_contract is not differentiable w.r.t. the grid"
             )
-        out = prim.bind(c_re, c_im, ct, st, lmax=lmax, mmax=mmax)
+        out = prim.bind(c_re, c_im, ct, st, lmax=lmax, mmax=mmax, fold=fold)
         zero = jnp.zeros_like(c_re)
         t_out = prim.bind(
             zero if is_zero(t_re) else t_re,
             zero if is_zero(t_im) else t_im,
-            ct, st, lmax=lmax, mmax=mmax,
+            ct, st, lmax=lmax, mmax=mmax, fold=fold,
         )
         return out, t_out
 
     ad.primitive_jvps[prim] = _jvp
 
-    def _transpose(cots, c_re, c_im, ct, st, *, lmax, mmax):
+    def _transpose(cots, c_re, c_im, ct, st, *, lmax, mmax, fold):
         if ad.is_undefined_primal(ct) or ad.is_undefined_primal(st):
             raise NotImplementedError("transpose w.r.t. grid")
         cot_c, cot_s = cots
@@ -283,13 +356,13 @@ def _make_legendre_primitive():
         if type(cot_s) is ad.Zero:
             cot_s = jnp.zeros_like(cot_c)
         g_re, g_im = _legendre_contract_transpose(
-            cot_c, cot_s, ct, st, lmax=lmax, mmax=mmax
+            cot_c, cot_s, ct, st, lmax=lmax, mmax=mmax, fold=fold
         )
         return g_re, g_im, None, None
 
     ad.primitive_transposes[prim] = _transpose
 
-    def _batch(args, dims, *, lmax, mmax):
+    def _batch(args, dims, *, lmax, mmax, fold):
         # grid operands may arrive batched too: lax.while_loop batching
         # broadcasts loop constants, so ct/st can carry the batch axis
         c_re, c_im, ct, st = args
@@ -297,7 +370,7 @@ def _make_legendre_primitive():
         def to_front(x, d):
             return x if d is not_mapped else jnp.moveaxis(x, d, 0)
         c_re, c_im, ct, st = map(to_front, args, dims)
-        out = prim.bind(c_re, c_im, ct, st, lmax=lmax, mmax=mmax)
+        out = prim.bind(c_re, c_im, ct, st, lmax=lmax, mmax=mmax, fold=fold)
         return out, (0, 0)
 
     batching.primitive_batchers[prim] = _batch
@@ -311,7 +384,8 @@ _legendre_contract_p = _make_legendre_primitive()
 
 
 def _legendre_contract(
-    cos_theta, sin_theta, c_re, c_im, lmax: int, mmax: int, block: int = None
+    cos_theta, sin_theta, c_re, c_im, lmax: int, mmax: int,
+    fold: bool = False,
 ):
     """Legendre recurrence + coefficient contraction.
 
@@ -331,6 +405,7 @@ def _legendre_contract(
         jnp.asarray(sin_theta, dtype),
         lmax=int(lmax),
         mmax=int(mmax),
+        fold=bool(fold),
     )
 
 
@@ -437,7 +512,12 @@ def healpix_synthesis(alm, nside: int, lmax=None, mmax=None):
     cos_theta = jnp.asarray(z, dtype=dtype)
 
     c_re, c_im = unpack_real_alm(alm, lmax, mmax)
-    f_c, f_s = _legendre_contract(cos_theta, sin_theta, c_re, c_im, lmax, mmax)
+    # HEALPix ring grids are north/south symmetric: generate λ for the
+    # northern hemisphere only (λ(π−θ) = (−1)^(l+m) λ(θ))
+    assert np.allclose(z, -z[::-1]), "ring grid not north/south symmetric"
+    f_c, f_s = _legendre_contract(
+        cos_theta, sin_theta, c_re, c_im, lmax, mmax, fold=True
+    )
 
     # real-basis weights (+ the reference's global √(4π) synthesis scale)
     ms = np.arange(mmax + 1)
@@ -550,7 +630,12 @@ def gauss_legendre_synthesis(alm, lmax: int, mmax=None, n_phi=None):
     cos_theta = jnp.asarray(z, dtype=dtype)
     sin_theta = jnp.asarray(np.sqrt(1.0 - z**2), dtype=dtype)
     c_re, c_im = unpack_real_alm(alm, lmax, mmax)
-    f_c, f_s = _legendre_contract(cos_theta, sin_theta, c_re, c_im, lmax, mmax)
+    # HEALPix ring grids are north/south symmetric: generate λ for the
+    # northern hemisphere only (λ(π−θ) = (−1)^(l+m) λ(θ))
+    assert np.allclose(z, -z[::-1]), "ring grid not north/south symmetric"
+    f_c, f_s = _legendre_contract(
+        cos_theta, sin_theta, c_re, c_im, lmax, mmax, fold=True
+    )
     w = np.full(mmax + 1, np.sqrt(2.0))
     w[0] = 1.0
     w *= np.sqrt(4.0 * np.pi)
