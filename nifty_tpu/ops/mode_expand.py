@@ -211,38 +211,214 @@ def _fold_rfp2(cot, layout, batched):
 def _expand_impl(tab, packed_idx, *, layout):
     """tab (U,) or (U, B) -> core_shape or core_shape + (B,)."""
     single = tab.ndim == 1
-    entry = _active_plan(layout)
-    if entry is not None and single and tab.dtype == jnp.float32:
-        from .pallas_expand import expand_forward
-
-        plan, interp = entry
-        G = expand_forward(plan, tab, interpret=interp).reshape(
-            layout.packed_shape
-        )
-        if layout.kind == "rfp2":
-            return _unpack_rfp2(G[..., None], layout, batched=True)[..., 0]
-        return G
-    t2 = tab[:, None] if single else tab
-    if t2.shape[-1] < 2:
-        # the >=2-wide slice gather path is ~3x faster per index even when
-        # one column is padding
-        t2 = jnp.concatenate([t2, jnp.zeros_like(t2)], axis=-1)
-    G = t2[packed_idx]  # (packed_shape..., C)
-    # drop the pad column right after the gather — the rest of the unpack
-    # should not touch it
-    G = G[..., : max(1, tab.shape[-1] if not single else 1)]
+    flat = _mode_expand_flat_p.bind(tab, packed_idx, layout=layout)
+    G = flat.reshape(
+        layout.packed_shape + (() if single else (tab.shape[-1],))
+    )
+    G2 = G[..., None] if single else G
     if layout.kind == "rfp2":
-        core = _unpack_rfp2(G, layout, batched=True)
+        core = _unpack_rfp2(G2, layout, batched=True)
     else:
-        core = G
-    if single:
-        return core[..., 0]
-    return core
+        core = G2
+    return core[..., 0] if single else core
 
 
 def _expand_abstract(tab, packed_idx, *, layout):
     shape = layout.core_shape + (() if tab.ndim == 1 else (tab.shape[-1],))
     return jax.core.ShapedArray(shape, tab.dtype)
+
+
+def _expand_flat_impl(tab, packed_idx, *, layout):
+    """Flat expansion core: (U,) or (U, B) table → (P,) / (P, B) packed
+    values.  Routes single f32 expansions through the Pallas network."""
+    single = tab.ndim == 1
+    entry = _active_plan(layout)
+    if entry is not None and single and tab.dtype == jnp.float32:
+        from .pallas_expand import expand_forward
+
+        plan, interp = entry
+        return expand_forward(plan, tab, interpret=interp)
+    idx_flat = packed_idx.ravel()
+    t2 = tab[:, None] if single else tab
+    if t2.shape[-1] < 2:
+        # the >=2-wide slice gather path is ~3x faster per index even when
+        # one column is padding
+        t2 = jnp.concatenate([t2, jnp.zeros_like(t2)], axis=-1)
+    g = t2[idx_flat][..., : 1 if single else tab.shape[-1]]
+    return g[..., 0] if single else g
+
+
+def _make_expand_flat_primitive():
+    """Flat expansion as a primitive (see `_make_collapse_primitive` for
+    why: raw Pallas calls in a linear jaxpr get lifted by the default
+    pallas batching rule under a later vmap and OOM scoped VMEM on big
+    layouts; these primitives' batch rules fall back to the XLA
+    gather/scatter paths instead)."""
+    try:
+        from jax.extend.core import Primitive
+    except ImportError:  # pragma: no cover - older jax
+        from jax.core import Primitive
+    from jax.interpreters import ad, batching, mlir
+
+    prim = Primitive("nifty_mode_expand_flat")
+    prim.def_impl(
+        lambda t, idx, *, layout: _expand_flat_impl(t, idx, layout=layout)
+    )
+
+    def _abstract(t, idx, *, layout):
+        n_packed = int(np.prod(layout.packed_shape))
+        shape = (n_packed,) + (() if t.ndim == 1 else (t.shape[-1],))
+        return jax.core.ShapedArray(shape, t.dtype)
+
+    prim.def_abstract_eval(_abstract)
+    ad.defjvp(
+        prim, lambda dt, t, idx, *, layout: prim.bind(dt, idx, layout=layout),
+        None,
+    )
+
+    def _transpose(cot, t, packed_idx, *, layout):
+        from jax.interpreters import ad as _ad
+
+        if not _ad.is_undefined_primal(t):
+            raise NotImplementedError("expand_flat transpose w.r.t. indices")
+        return _mode_collapse_p.bind(cot, packed_idx, layout=layout), None
+
+    ad.primitive_transposes[prim] = _transpose
+
+    def _batch(args, dims, *, layout):
+        from jax.interpreters import batching as _b
+
+        t, idx = args
+        dt, di = dims
+        if di is not _b.not_mapped:
+            out = jax.vmap(
+                lambda t_, i_: _expand_flat_impl(t_, i_, layout=layout),
+                in_axes=(None if dt is _b.not_mapped else dt, di),
+            )(t, idx)
+            return out, 0
+        if t.ndim - 1 != 1:
+            out = jax.vmap(
+                lambda t_: _expand_flat_impl(t_, idx, layout=layout),
+                in_axes=dt,
+            )(t)
+            return out, 0
+        t2 = jnp.moveaxis(t, dt, -1)  # batch as gather-slice columns
+        out = prim.bind(t2, idx, layout=layout)
+        return out, out.ndim - 1
+
+    batching.primitive_batchers[prim] = _batch
+    mlir.register_lowering(
+        prim,
+        mlir.lower_fun(
+            lambda t, idx, *, layout: _expand_flat_impl(t, idx, layout=layout),
+            multiple_results=False,
+        ),
+    )
+    return prim
+
+
+_mode_expand_flat_p = _make_expand_flat_primitive()
+
+
+def _collapse_impl(c_flat, packed_idx, *, layout):
+    """Flat collapse (the expansion's adjoint core): (P,) or (P, B)
+    packed cotangents → (n_unique,) / (n_unique, B) scatter-add.  Routes
+    single f32 collapses through the Pallas network transpose."""
+    single = c_flat.ndim == 1
+    entry = _active_plan(layout)
+    if entry is not None and single and c_flat.dtype == jnp.float32:
+        from .pallas_expand import expand_transpose
+
+        plan, interp = entry
+        return expand_transpose(plan, c_flat, interpret=interp)
+    idx_flat = packed_idx.ravel()
+    if single:
+        # flat 1-wide scatter-add — measured ~2x faster than the
+        # (n_unique, 1)-operand form on TPU
+        out = jnp.zeros((layout.n_unique,), c_flat.dtype)
+        return out.at[idx_flat].add(c_flat)
+    B = c_flat.shape[-1]
+    out = jnp.zeros((layout.n_unique, B), c_flat.dtype)
+    return out.at[idx_flat].add(c_flat)
+
+
+def _make_collapse_primitive():
+    """The flat collapse as its own primitive.  Without it the expand
+    transpose rule would emit raw Pallas calls into the linear jaxpr, and
+    a later `vmap` would lift them with the *default* pallas batching
+    rule (a prepended grid axis) — the whole (H, 128) network stack times
+    the batch lands in scoped VMEM at once, which OOMs for ≥4096²-exact
+    layouts (H = 22016).  The batch rule here falls back to the XLA
+    scatter-add path instead."""
+    try:
+        from jax.extend.core import Primitive
+    except ImportError:  # pragma: no cover - older jax
+        from jax.core import Primitive
+    from jax.interpreters import ad, batching, mlir
+
+    prim = Primitive("nifty_mode_collapse")
+    prim.def_impl(
+        lambda c, idx, *, layout: _collapse_impl(c, idx, layout=layout)
+    )
+
+    def _abstract(c, idx, *, layout):
+        shape = (layout.n_unique,) + (
+            () if c.ndim == 1 else (c.shape[-1],)
+        )
+        return jax.core.ShapedArray(shape, c.dtype)
+
+    prim.def_abstract_eval(_abstract)
+    ad.defjvp(
+        prim, lambda dc, c, idx, *, layout: prim.bind(dc, idx, layout=layout),
+        None,
+    )
+
+    def _collapse_transpose(cot, c, packed_idx, *, layout):
+        from jax.interpreters import ad as _ad
+
+        if not _ad.is_undefined_primal(c):
+            raise NotImplementedError("collapse transpose w.r.t. indices")
+        return (
+            _mode_expand_flat_p.bind(cot, packed_idx, layout=layout),
+            None,
+        )
+
+    ad.primitive_transposes[prim] = _collapse_transpose
+
+    def _collapse_batch(args, dims, *, layout):
+        from jax.interpreters import batching as _b
+
+        c, idx = args
+        dc, di = dims
+        if di is not _b.not_mapped:
+            out = jax.vmap(
+                lambda c_, i_: _collapse_impl(c_, i_, layout=layout),
+                in_axes=(None if dc is _b.not_mapped else dc, di),
+            )(c, idx)
+            return out, 0
+        if c.ndim - 1 != 1:
+            out = jax.vmap(
+                lambda c_: _collapse_impl(c_, idx, layout=layout),
+                in_axes=dc,
+            )(c)
+            return out, 0
+        # batch as trailing scatter columns (XLA path, never the network)
+        c2 = jnp.moveaxis(c, dc, -1)
+        out = prim.bind(c2, idx, layout=layout)
+        return out, out.ndim - 1
+
+    batching.primitive_batchers[prim] = _collapse_batch
+    mlir.register_lowering(
+        prim,
+        mlir.lower_fun(
+            lambda c, idx, *, layout: _collapse_impl(c, idx, layout=layout),
+            multiple_results=False,
+        ),
+    )
+    return prim
+
+
+_mode_collapse_p = _make_collapse_primitive()
 
 
 def _expand_transpose(cot, tab, packed_idx, *, layout):
@@ -256,29 +432,15 @@ def _expand_transpose(cot, tab, packed_idx, *, layout):
         R_cot = _fold_rfp2(c, layout, batched=True)
     else:
         R_cot = c
-    entry = _active_plan(layout)
-    if entry is not None and single and R_cot.dtype == jnp.float32:
-        from .pallas_expand import expand_transpose
-
-        plan, interp = entry
-        out = expand_transpose(
-            plan, R_cot[..., 0].reshape(-1), interpret=interp
-        )
-        return out, None
     B = R_cot.shape[-1]
-    idx_flat = packed_idx.ravel()
-    if B == 1:
-        # flat 1-wide scatter-add — measured ~2x faster than the
-        # (n_unique, 1)-operand form on TPU
-        out = jnp.zeros((layout.n_unique,), R_cot.dtype)
-        out = out.at[idx_flat].add(R_cot.reshape(-1))
-        if not single:
-            out = out[:, None]
+    if single:
+        out = _mode_collapse_p.bind(
+            R_cot[..., 0].reshape(-1), packed_idx, layout=layout
+        )
     else:
-        out = jnp.zeros((layout.n_unique, B), R_cot.dtype)
-        out = out.at[idx_flat].add(R_cot.reshape(-1, B))
-        if single:
-            out = out[:, 0]
+        out = _mode_collapse_p.bind(
+            R_cot.reshape(-1, B), packed_idx, layout=layout
+        )
     return out, None
 
 

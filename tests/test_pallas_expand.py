@@ -161,3 +161,62 @@ def test_cf_exact_path_through_network_interpret():
         finally:
             cfg.update("expand_network", "auto")
             me._NETWORK_PLANS.clear()
+
+
+def test_vmapped_metric_never_batches_network_kernels():
+    """A raw Pallas call in the linearized jaxpr gets lifted by the
+    default pallas batching rule under vmap (a prepended grid axis) —
+    which OOMs scoped VMEM for tall networks (observed on-chip at
+    4096²-exact, H=22016).  The flat expand/collapse primitives must
+    therefore fall back to the XLA paths whenever the value is batched:
+    no pallas_call may survive in a vmapped metric jaxpr."""
+    import jax
+    import numpy as np
+    from jax import numpy as jnp
+
+    import nifty_tpu as nt
+    from nifty_tpu import config as nt_config
+
+    nt_config.update("expand_network", "interpret")
+    try:
+        cfm = nt.CorrelatedFieldMaker("cf")
+        cfm.set_amplitude_total_offset(offset_mean=1.0, offset_std=(1e-1, 3e-2))
+        cfm.add_fluctuations(
+            (17, 17), distances=1.0 / 17,
+            fluctuations=(1.0, 5e-1), loglogavgslope=(-3.0, 2e-1),
+            flexibility=(1e0, 2e-1),
+        )
+        cf = cfm.finalize()
+        data = jnp.zeros((17, 17), jnp.float32)
+        lh = nt.Gaussian(data, noise_std_inv=lambda x: 2.0 * x).amend(cf)
+        pos = nt.Vector(
+            jax.tree_util.tree_map(
+                lambda v: jnp.asarray(v, jnp.float32), cf.init(jax.random.PRNGKey(0))
+            )
+        )
+        tans = jax.tree_util.tree_map(
+            lambda v: jnp.stack([v, 2.0 * v]), pos.tree
+        )
+        with jax.enable_x64(False):
+            vm = jax.vmap(lambda t: lh.metric(pos, nt.Vector(t)))
+            jaxpr = jax.make_jaxpr(vm)(tans)
+            assert "pallas" not in str(jaxpr).lower()
+            out = vm(tans)  # and it runs
+            assert np.all(np.isfinite(jax.tree_util.tree_leaves(out.tree)[0]))
+            # the expand/collapse machinery went through the primitives
+            # (whose impls choose pallas-vs-XLA at lowering time)
+            assert "nifty_mode" in str(jaxpr)
+            # batched equals per-sample unbatched (which rides the network)
+            single = jax.jit(lambda t: lh.metric(pos, nt.Vector(t)))
+            for i in range(2):
+                want = single({k: v[i] for k, v in tans.items()})
+                den = max(
+                    float(np.abs(np.asarray(l)).max())
+                    for l in jax.tree_util.tree_leaves(want.tree)
+                )
+                for k in tans:
+                    a = np.asarray(out.tree[k][i])
+                    b = np.asarray(want.tree[k])
+                    assert np.abs(a - b).max() / den < 1e-4, k
+    finally:
+        nt_config.update("expand_network", "auto")
