@@ -129,23 +129,42 @@ def _recurrence_tables(lmax: int, mmax: int):
     return a, b, dfac
 
 
+_SCAN_UNROLL = 8  # ℓ-steps per scan iteration (amortizes per-step launch)
+
+
+def _padded_L(lmax: int) -> int:
+    """Number of ℓ rows after `_legendre_scan`'s unroll padding."""
+    U = _SCAN_UNROLL
+    return (-(-(lmax + 1) // U)) * U
+
+
 def _legendre_scan(cos_theta, sin_theta, lmax: int, mmax: int, dtype, body,
                    aux0=None):
-    """Run ``body(l, lam_l, aux) -> aux`` over ℓ = 0..lmax inside one
-    ``lax.scan``, where ``lam_l`` is the (n_rings, mmax+1) row of
-    normalized associated Legendre functions generated by the stable
+    """Run ``body(l, lam_l, aux) -> (aux, ys)`` over ℓ = 0..lmax_pad
+    inside one ``lax.scan``, where ``lam_l`` is the (n_rings, mmax+1) row
+    of normalized associated Legendre functions generated by the stable
     three-term recurrence.  Shared by the forward contraction and its
     transpose — nothing of size O(lmax·mmax·n_rings) is materialized.
+
+    ``_SCAN_UNROLL`` ℓ-steps run per scan iteration (the per-iteration
+    launch overhead, ~15 µs on a v5e, otherwise dominates the µs-scale
+    body); the recurrence is padded past lmax (its coefficient formulas
+    stay valid), so ``body`` must tolerate l in [0, lmax_pad] and callers
+    must ignore stacked outputs beyond lmax.  Stacked ys come back with
+    leading shape (lmax_pad+1, ...).
 
     The grid may carry leading batch axes (``cos_theta``/``sin_theta`` of
     shape (..., n_rings)): ``lax.while_loop`` batching broadcasts loop
     constants, so the primitive's batch rule must accept batched grids."""
     grid_batch = cos_theta.shape[:-1]
     n_rings = cos_theta.shape[-1]
-    a_np, b_np, dfac_np = _recurrence_tables(lmax, mmax)
-    a_next = jnp.asarray(a_np[1 : lmax + 2], dtype=dtype)
-    b_next = jnp.asarray(b_np[1 : lmax + 2], dtype=dtype)
-    dfac_next = jnp.asarray(dfac_np[: lmax + 1], dtype=dtype)
+    U = _SCAN_UNROLL
+    n_outer = -(-(lmax + 1) // U)
+    lmax_pad = n_outer * U - 1
+    a_np, b_np, dfac_np = _recurrence_tables(lmax_pad, mmax)
+    a_next = jnp.asarray(a_np[1 : lmax_pad + 2], dtype=dtype)
+    b_next = jnp.asarray(b_np[1 : lmax_pad + 2], dtype=dtype)
+    dfac_next = jnp.asarray(dfac_np[: lmax_pad + 1], dtype=dtype)
     col = jnp.arange(mmax + 1)
     ct = cos_theta[..., :, None].astype(dtype)
     st = sin_theta.astype(dtype)
@@ -158,18 +177,41 @@ def _legendre_scan(cos_theta, sin_theta, lmax: int, mmax: int, dtype, body,
 
     def step(carry, xs):
         p_prev, p_curr, diag, aux = carry
-        l, a_n, b_n, d_n = xs
-        aux, ys = body(l, p_curr, aux)
-        p_new = a_n * ct * p_curr - b_n * p_prev
-        new_diag = d_n * st * diag
-        sel = col == (l + 1)
-        p_new = jnp.where(
-            sel & ((l + 1) <= mmax), new_diag[..., :, None], p_new
-        )
-        return (p_curr, p_new, new_diag, aux), ys
+        ls, a_ns, b_ns, d_ns = xs  # each (U, ...)
+        ys_list = []
+        for u in range(U):
+            l = ls[u]
+            aux, ys_u = body(l, p_curr, aux)
+            ys_list.append(ys_u)
+            p_new = a_ns[u] * ct * p_curr - b_ns[u] * p_prev
+            new_diag = d_ns[u] * st * diag
+            sel = col == (l + 1)
+            p_new = jnp.where(
+                sel & ((l + 1) <= mmax), new_diag[..., :, None], p_new
+            )
+            p_prev, p_curr, diag = p_curr, p_new, new_diag
+        if ys_list[0] is None:
+            ys = None
+        else:
+            ys = jax.tree_util.tree_map(
+                lambda *zs: jnp.stack(zs), *ys_list
+            )
+        return (p_prev, p_curr, diag, aux), ys
 
-    xs = (jnp.arange(lmax + 1), a_next, b_next, dfac_next)
+    import jax
+
+    xs = (
+        jnp.arange(lmax_pad + 1).reshape(n_outer, U),
+        a_next.reshape((n_outer, U) + a_next.shape[1:]),
+        b_next.reshape((n_outer, U) + b_next.shape[1:]),
+        dfac_next.reshape(n_outer, U),
+    )
     (_, _, _, aux), ys = lax.scan(step, (p_prev, p_curr, diag, aux0), xs)
+    if ys is not None:
+        # (n_outer, U, ...) -> (lmax_pad+1, ...)
+        ys = jax.tree_util.tree_map(
+            lambda z: z.reshape((-1,) + z.shape[2:]), ys
+        )
     return aux, ys
 
 
@@ -188,6 +230,13 @@ def _contract_core(c_re, c_im, cos_theta, sin_theta, *, lmax, mmax):
     f0 = jnp.zeros(batch + (n_rings, mmax + 1), dtype=dtype)
     cr = jnp.moveaxis(c_re, -2, 0).astype(dtype)  # (L, ..., M)
     ci = jnp.moveaxis(c_im, -2, 0).astype(dtype)
+    # zero-pad ℓ rows up to the scan's unroll padding (dynamic indexing
+    # clamps — padded steps must contract zeros, not the last row)
+    n_pad = _padded_L(lmax) - cr.shape[0]
+    if n_pad:
+        zpad = jnp.zeros((n_pad,) + cr.shape[1:], dtype)
+        cr = jnp.concatenate([cr, zpad])
+        ci = jnp.concatenate([ci, zpad])
 
     def body(l, lam, aux):
         f_c, f_s = aux
@@ -249,7 +298,9 @@ def _transpose_core(cot_c, cot_s, cos_theta, sin_theta, *, lmax, mmax):
     _, (g_re, g_im) = _legendre_scan(
         cos_theta, sin_theta, lmax, mmax, dtype, body
     )
-    # scan stacks over ℓ at axis 0 → move to -2
+    # scan stacks over ℓ at axis 0 (incl. unroll padding) → slice + move
+    g_re = g_re[: lmax + 1]
+    g_im = g_im[: lmax + 1]
     return jnp.moveaxis(g_re, 0, -2), jnp.moveaxis(g_im, 0, -2)
 
 
