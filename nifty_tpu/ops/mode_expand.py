@@ -228,11 +228,11 @@ def _expand_abstract(tab, packed_idx, *, layout):
     return jax.core.ShapedArray(shape, tab.dtype)
 
 
-def _expand_flat_impl(tab, packed_idx, *, layout):
+def _expand_flat_impl(tab, packed_idx, *, layout, network=True):
     """Flat expansion core: (U,) or (U, B) table → (P,) / (P, B) packed
     values.  Routes single f32 expansions through the Pallas network."""
     single = tab.ndim == 1
-    entry = _active_plan(layout)
+    entry = _active_plan(layout) if network else None
     if entry is not None and single and tab.dtype == jnp.float32:
         from .pallas_expand import expand_forward
 
@@ -292,13 +292,17 @@ def _make_expand_flat_primitive():
         dt, di = dims
         if di is not _b.not_mapped:
             out = jax.vmap(
-                lambda t_, i_: _expand_flat_impl(t_, i_, layout=layout),
+                lambda t_, i_: _expand_flat_impl(
+                    t_, i_, layout=layout, network=False
+                ),
                 in_axes=(None if dt is _b.not_mapped else dt, di),
             )(t, idx)
             return out, 0
         if t.ndim - 1 != 1:
             out = jax.vmap(
-                lambda t_: _expand_flat_impl(t_, idx, layout=layout),
+                lambda t_: _expand_flat_impl(
+                    t_, idx, layout=layout, network=False
+                ),
                 in_axes=dt,
             )(t)
             return out, 0
@@ -320,12 +324,12 @@ def _make_expand_flat_primitive():
 _mode_expand_flat_p = _make_expand_flat_primitive()
 
 
-def _collapse_impl(c_flat, packed_idx, *, layout):
+def _collapse_impl(c_flat, packed_idx, *, layout, network=True):
     """Flat collapse (the expansion's adjoint core): (P,) or (P, B)
     packed cotangents → (n_unique,) / (n_unique, B) scatter-add.  Routes
     single f32 collapses through the Pallas network transpose."""
     single = c_flat.ndim == 1
-    entry = _active_plan(layout)
+    entry = _active_plan(layout) if network else None
     if entry is not None and single and c_flat.dtype == jnp.float32:
         from .pallas_expand import expand_transpose
 
@@ -392,13 +396,17 @@ def _make_collapse_primitive():
         dc, di = dims
         if di is not _b.not_mapped:
             out = jax.vmap(
-                lambda c_, i_: _collapse_impl(c_, i_, layout=layout),
+                lambda c_, i_: _collapse_impl(
+                    c_, i_, layout=layout, network=False
+                ),
                 in_axes=(None if dc is _b.not_mapped else dc, di),
             )(c, idx)
             return out, 0
         if c.ndim - 1 != 1:
             out = jax.vmap(
-                lambda c_: _collapse_impl(c_, idx, layout=layout),
+                lambda c_: _collapse_impl(
+                    c_, idx, layout=layout, network=False
+                ),
                 in_axes=dc,
             )(c)
             return out, 0

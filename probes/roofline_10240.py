@@ -11,7 +11,11 @@ implementation, so BENCHMARKS.md can state achieved GB/s vs the
 ~820 GB/s v5e peak.  Run: python probes/roofline_10240.py
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
 
 import jax
 import numpy as np
@@ -72,28 +76,13 @@ t_h = chain_time(lambda z: hartley(z) * (1.0 / NPIX), x, iters=8)
 print(f"hartley 10240^2: {t_h*1e3:.3f} ms  "
       f"(= {t_h/t_copy:.1f} copy-passes)", flush=True)
 
-# 3. the metric apply (same model as bench.py's 10240 row)
-cfm = nt.CorrelatedFieldMaker("cf")
-cfm.set_amplitude_total_offset(offset_mean=1.0, offset_std=(1e-1, 3e-2))
-cfm.add_fluctuations(
-    (N, N), distances=1.0 / N, fluctuations=(1.0, 5e-1),
-    loglogavgslope=(-3.0, 2e-1), flexibility=(1e0, 2e-1), n_mode_knots=64,
-)
-cf = cfm.finalize()
-fwd = nt.ChainModel(jnp.exp, cf)
-rate = np.asarray(jax.jit(lambda k: fwd(fwd.init(k)))(random.PRNGKey(0)))
-data = np.random.default_rng(1).poisson(np.clip(rate, 0, 1e6)).astype(np.int32)
-lh = nt.Poissonian(data).amend(fwd)
-pos = nt.Vector(lh.init(random.PRNGKey(2)))
+# 3. the metric apply: exactly bench.py's 10240 row machinery (model and
+# position ride as jit *arguments* — closures would serialize ~GB of
+# literals into the remote-compile payload)
+import bench
 
-
-def met(t):
-    out = lh.metric(pos, t)
-    s = sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(out)) * 1e-20
-    return jax.tree_util.tree_map(lambda q: q * 0.5 + s, t)
-
-
-t_m = chain_time(met, pos, iters=4)
+lh, pos, tangent = bench.build_likelihood((N, N), n_mode_knots=64)
+t_m = bench.time_apply(lh, pos, tangent)
 print(f"metric apply 10240^2 knots64: {t_m*1e3:.3f} ms", flush=True)
 print(f"  = {t_m/t_h:.2f} hartleys;  4 transforms (jvp: H, H^-1; vjp: "
       f"H^-T, H^-T) predict {4*t_h/t_m*100:.0f}% of the apply", flush=True)
